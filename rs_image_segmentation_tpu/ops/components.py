@@ -1,0 +1,142 @@
+"""Connected components, hole filling, and mask post-processing — on device.
+
+The reference delegates these to scipy.ndimage / cv2 on host
+(extract.py:299-341). Here they run inside jit:
+
+  * ``connected_components``: iterative min-label propagation (3x3 or cross
+    neighborhood min) accelerated with pointer jumping (label <- label[label])
+    inside a ``lax.while_loop``; convergence in O(log diameter) rounds for
+    typical masks instead of O(diameter).
+  * ``remove_small_components``: component areas via scatter-add over the
+    (stable) root labels, then a gather-compare — no host sync.
+  * ``fill_holes``: border flood over the background inside a while_loop.
+  * ``post_process_mask``: the reference's close -> min-area -> open chain
+    (advanced_post_processing, extract.py:299-341) with OpenCV-parity
+    ellipse elements.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rs_image_segmentation_tpu.ops.morphology import closing, opening
+
+
+def _neighbor_min(lab: jnp.ndarray, connectivity: int) -> jnp.ndarray:
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    p = jnp.pad(lab, 1, mode="constant", constant_values=big)
+    h, w = lab.shape
+    views = [lab,
+             p[:h, 1:1 + w], p[2:2 + h, 1:1 + w],      # up, down
+             p[1:1 + h, :w], p[1:1 + h, 2:2 + w]]      # left, right
+    if connectivity == 8:
+        views += [p[:h, :w], p[:h, 2:2 + w],
+                  p[2:2 + h, :w], p[2:2 + h, 2:2 + w]]
+    out = views[0]
+    for v in views[1:]:
+        out = jnp.minimum(out, v)
+    return out
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(mask: jnp.ndarray, connectivity: int = 8,
+                         max_iters: int = 4096) -> jnp.ndarray:
+    """Label connected components of a binary mask.
+
+    Returns int32 labels where background = -1 and each component carries the
+    minimum linear index of its pixels (stable, deterministic IDs; use
+    :func:`relabel_sequential` for 1..N ids matching ndimage.label ordering).
+    """
+    h, w = mask.shape
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    fg = mask.astype(bool)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    lab = jnp.where(fg, idx, big)
+
+    def body(state):
+        lab, _, it = state
+        nm = _neighbor_min(lab, connectivity)
+        nm = jnp.where(fg, nm, big)
+        # pointer jumping: follow the current parent one hop
+        flat = nm.reshape(-1)
+        safe = jnp.where(flat == big, 0, flat)
+        jumped = jnp.where(flat == big, big, flat[safe])
+        new = jnp.minimum(nm, jumped.reshape(h, w))
+        new = jnp.where(fg, new, big)
+        changed = jnp.any(new != lab)
+        return new, changed, it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.asarray(True), 0))
+    return jnp.where(fg, lab, -1)
+
+
+def component_areas(labels: jnp.ndarray) -> jnp.ndarray:
+    """Pixel count per root label (flat array of size H*W; zero elsewhere)."""
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+    valid = flat >= 0
+    safe = jnp.where(valid, flat, 0)
+    counts = jnp.zeros(h * w, dtype=jnp.int32).at[safe].add(
+        valid.astype(jnp.int32))
+    return counts
+
+
+def remove_small_components(mask: jnp.ndarray, min_area: int,
+                            connectivity: int = 8) -> jnp.ndarray:
+    """Zero out components with area < min_area (reference extract.py:320-330)."""
+    labels = connected_components(mask, connectivity)
+    counts = component_areas(labels)
+    flat = labels.reshape(-1)
+    area = jnp.where(flat >= 0, counts[jnp.where(flat >= 0, flat, 0)], 0)
+    keep = (area >= min_area).reshape(mask.shape)
+    return (mask.astype(bool) & keep).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def fill_holes(mask: jnp.ndarray, max_iters: int = 4096) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes equivalent: holes are background
+    regions not 4-connected to the border."""
+    fg = mask.astype(bool)
+    bg = ~fg
+    h, w = fg.shape
+    border = jnp.zeros_like(bg).at[0, :].set(True).at[-1, :].set(True) \
+        .at[:, 0].set(True).at[:, -1].set(True)
+    reach = bg & border
+
+    def body(state):
+        reach, _, it = state
+        p = jnp.pad(reach, 1)
+        grown = (reach | p[:h, 1:1 + w] | p[2:, 1:1 + w]
+                 | p[1:1 + h, :w] | p[1:1 + h, 2:]) & bg
+        return grown, jnp.any(grown != reach), it + 1
+
+    reach, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_iters), body,
+        (reach, jnp.asarray(True), 0))
+    return (fg | (bg & ~reach)).astype(jnp.uint8)
+
+
+def post_process_mask(mask: jnp.ndarray, min_area: int = 100,
+                      smooth_kernel_size: int = 3,
+                      do_fill_holes: bool = True) -> jnp.ndarray:
+    """The reference's ``advanced_post_processing`` (extract.py:299-341):
+    ellipse close (as its hole filler when the kernel is odd) -> remove
+    small 8-connected components -> ellipse open."""
+    out = mask.astype(jnp.uint8)
+    odd = smooth_kernel_size > 0 and smooth_kernel_size % 2 == 1
+    if do_fill_holes and odd:
+        out = closing(out, smooth_kernel_size, shape="ellipse")
+    elif do_fill_holes:
+        out = fill_holes(out)
+    if min_area > 0:
+        out = remove_small_components(out, min_area, connectivity=8)
+    if odd:
+        out = opening(out, smooth_kernel_size, shape="ellipse")
+    return out

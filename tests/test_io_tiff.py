@@ -1,0 +1,89 @@
+"""TIFF codec tests: bundled-scene read, round-trips, PIL cross-checks."""
+
+import numpy as np
+import pytest
+
+from rs_image_segmentation_tpu.core.types import GeoMeta
+from rs_image_segmentation_tpu.io.tiff import (
+    read_tiff, write_tiff, lzw_decode, lzw_encode)
+
+
+def test_read_bundled_scene(aa_scene):
+    arr, info = aa_scene
+    assert arr.shape == (7, 600, 600)
+    assert arr.dtype == np.uint8
+    assert info.count == 7
+
+
+def test_lzw_roundtrip(rng):
+    for size in [0, 1, 7, 1000, 65537]:
+        d = rng.integers(0, 16, size=size, dtype=np.uint8).tobytes()
+        assert lzw_decode(lzw_encode(d), size) == d
+
+
+def test_pil_cross_decode(tmp_path, rng):
+    PIL = pytest.importorskip("PIL.Image")
+    img = rng.integers(0, 255, size=(123, 217), dtype=np.uint8)
+    p = str(tmp_path / "pil.tif")
+    PIL.fromarray(img).save(p, compression="tiff_lzw")
+    arr, _ = read_tiff(p)
+    assert np.array_equal(arr[0], img)
+
+
+def test_pil_cross_encode(tmp_path, rng):
+    PIL = pytest.importorskip("PIL.Image")
+    img = rng.integers(0, 255, size=(1, 77, 191), dtype=np.uint8)
+    p = str(tmp_path / "ours.tif")
+    write_tiff(p, img, compression="lzw")
+    assert np.array_equal(np.asarray(PIL.open(p)), img[0])
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate"])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_float_stack_roundtrip(tmp_path, rng, compression, tiled):
+    f = rng.standard_normal((5, 130, 140)).astype(np.float32)
+    meta = GeoMeta(transform=(30.0, 0.0, 5e5, 0.0, -30.0, 4e6),
+                   crs="EPSG:32630", nodata=0.0)
+    p = str(tmp_path / "f.tif")
+    write_tiff(p, f, meta, compression=compression, tiled=tiled, tile_size=64,
+               band_names=[f"b{i}" for i in range(5)])
+    g, gi = read_tiff(p)
+    assert np.array_equal(g, f)
+    assert gi.meta.transform == meta.transform
+    assert gi.meta.crs == "EPSG:32630"
+    assert gi.meta.nodata == 0.0
+    assert gi.band_names == ("b0", "b1", "b2", "b3", "b4")
+
+
+def test_classmap_with_palette(tmp_path, rng):
+    cls = rng.integers(0, 4, size=(1, 90, 95), dtype=np.uint8)
+    cmap = np.array([[0, 0, 0], [0, 128, 0], [0, 0, 255], [255, 0, 0]],
+                    dtype=np.uint8)
+    p = str(tmp_path / "c.tif")
+    write_tiff(p, cls, GeoMeta(nodata=0.0), compression="lzw", tiled=True,
+               tile_size=64, colormap=cmap)
+    c2, ci = read_tiff(p)
+    assert np.array_equal(c2, cls)
+    assert ci.meta.nodata == 0.0
+    assert np.array_equal(ci.colormap[:4] // 257, cmap)
+
+
+@pytest.mark.parametrize("dtype", [np.uint16, np.int16, np.int32, np.float64])
+def test_dtypes_roundtrip(tmp_path, rng, dtype):
+    if np.issubdtype(dtype, np.floating):
+        a = rng.standard_normal((2, 33, 47)).astype(dtype)
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(info.min, info.max, size=(2, 33, 47)).astype(dtype)
+    p = str(tmp_path / "d.tif")
+    write_tiff(p, a, compression="lzw")
+    b, _ = read_tiff(p)
+    assert b.dtype == dtype and np.array_equal(a, b)
+
+
+def test_planar_band_sequential(tmp_path, rng):
+    a = rng.integers(0, 255, size=(3, 40, 50), dtype=np.uint8)
+    p = str(tmp_path / "p2.tif")
+    write_tiff(p, a, planar=2, compression="lzw")
+    b, _ = read_tiff(p)
+    assert np.array_equal(a, b)

@@ -1,0 +1,246 @@
+"""Kernel-vs-oracle tests: every device op against NumPy/cv2/scipy/sklearn."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from rs_image_segmentation_tpu.ops import (
+    components as C, indices as I, morphology as M, normalize as N,
+    stats as S, stencil as ST, threshold as T)
+
+
+# --- normalize ---------------------------------------------------------------
+
+def test_percentile_matches_numpy(rng):
+    x = rng.standard_normal(1234).astype(np.float32) * 37
+    for q in [0.0, 2.0, 50.0, 98.0, 100.0]:
+        assert np.abs(float(N.percentile(jnp.asarray(x), q))
+                      - np.percentile(x, q)) < 1e-4
+
+
+def test_robust_normalize_matches_reference_math(rng):
+    band = (rng.standard_normal((60, 70)) * 50 + 100).astype(np.float32)
+    lo, hi = np.percentile(band, [2, 98])
+    ref = (np.clip(band, lo, hi) - lo) / (hi - lo + 1e-10)
+    ours = np.asarray(N.robust_normalize(jnp.asarray(band)))
+    assert np.abs(ref - ours).max() < 1e-5
+
+
+def test_minmax_stretch_u8(rng):
+    band = (rng.standard_normal((40, 40)) * 10 + 3).astype(np.float32)
+    ref = ((band - band.min()) * 255.0 / (band.max() - band.min())).astype(np.uint8)
+    ours = np.asarray(N.minmax_stretch_u8(jnp.asarray(band)))
+    # truncation boundaries may flip by 1 LSB under fp reassociation
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+
+# --- indices ------------------------------------------------------------------
+
+def _np_guarded(num, den):
+    mask = den > 1e-3
+    out = np.zeros_like(num, dtype=np.float32)
+    out[mask] = num[mask] / den[mask]
+    return np.clip(out, -1.0, 1.0)
+
+
+def test_all_indices_match_reference_math(rng):
+    b = rng.random((5, 50, 50)).astype(np.float32)
+    blue, green, red, nir, swir1 = b
+    cases = {
+        "ndvi": _np_guarded(nir - red, nir + red),
+        "evi": _np_guarded(2.5 * (nir - red), nir + 6 * red - 7.5 * blue + 1),
+        "ndwi": _np_guarded(green - nir, green + nir),
+        "mndwi": _np_guarded(green - swir1, green + swir1),
+        "ndbi": _np_guarded(swir1 - nir, swir1 + nir),
+        "bsi": _np_guarded((swir1 + red) - (nir + blue),
+                           (swir1 + red) + (nir + blue)),
+        "msavi": np.clip((2 * nir + 1 - np.sqrt((2 * nir + 1) ** 2
+                                                - 8 * (nir - red))) / 2, -1, 1),
+    }
+    got = I.spectral_indices(jnp.asarray(b))
+    for k, ref in cases.items():
+        assert np.abs(ref - np.asarray(got[k])).max() < 1e-5, k
+
+
+# --- stats ---------------------------------------------------------------------
+
+def test_metrics_bit_match_sklearn(rng):
+    from sklearn.metrics import (accuracy_score, cohen_kappa_score,
+                                 confusion_matrix, precision_recall_fscore_support)
+    yt = rng.integers(1, 5, 2000)
+    yp = rng.integers(1, 5, 2000)
+    labels = [1, 2, 3, 4]
+    cm, oa, kappa, per = S.evaluate_predictions(
+        jnp.asarray(yt), jnp.asarray(yp), labels)
+    assert np.array_equal(cm, confusion_matrix(yt, yp, labels=labels))
+    assert oa == accuracy_score(yt, yp)
+    assert abs(kappa - cohen_kappa_score(yt, yp)) < 1e-15
+    p, r, f, s = precision_recall_fscore_support(
+        yt, yp, labels=labels, zero_division=0)
+    assert np.allclose(per["precision"], p)
+    assert np.allclose(per["recall"], r)
+    assert np.allclose(per["f1"], f)
+    assert np.array_equal(per["support"], s)
+
+
+def test_map_clusters_majority_vote(rng):
+    pred = rng.integers(0, 7, (50, 50))
+    truth = np.zeros((50, 50), np.int32)
+    truth[rng.random((50, 50)) < 0.1] = rng.integers(1, 4)
+    # oracle: reference 4_evaluate.py:97-128 majority mapping
+    mapping = {}
+    for c in range(7):
+        sel = (pred == c) & (truth > 0)
+        if sel.any():
+            mapping[c] = np.bincount(truth[sel]).argmax()
+        else:
+            mapping[c] = 0
+    ref = np.vectorize(mapping.get)(pred)
+    ours = np.asarray(S.map_clusters_to_classes(
+        jnp.asarray(pred), jnp.asarray(truth), 7, 5))
+    assert np.array_equal(ref, ours)
+
+
+# --- morphology ------------------------------------------------------------------
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+def test_morphology_matches_cv2(rng, k):
+    img = rng.integers(0, 256, (40, 45), dtype=np.uint8)
+    kern = np.ones((k, k), np.uint8)
+    j = jnp.asarray(img)
+    assert np.array_equal(cv2.erode(img, kern), np.asarray(M.erode(j, k)))
+    assert np.array_equal(cv2.dilate(img, kern), np.asarray(M.dilate(j, k)))
+    assert np.array_equal(cv2.morphologyEx(img, cv2.MORPH_OPEN, kern),
+                          np.asarray(M.opening(j, k)))
+    assert np.array_equal(cv2.morphologyEx(img, cv2.MORPH_CLOSE, kern),
+                          np.asarray(M.closing(j, k)))
+    assert np.array_equal(cv2.morphologyEx(img, cv2.MORPH_GRADIENT, kern),
+                          np.asarray(M.gradient(j, k)))
+
+
+@pytest.mark.parametrize("k", [3, 5, 7, 9])
+def test_ellipse_element_matches_cv2(k):
+    ref = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+    ours = np.zeros((k, k), np.uint8)
+    for dy, dx in M.ellipse_element(k):
+        ours[dy + k // 2, dx + k // 2] = 1
+    assert np.array_equal(ref, ours)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_ellipse_morphology_matches_cv2(rng, k):
+    bi = (rng.random((40, 45)) > 0.5).astype(np.uint8)
+    ek = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (k, k))
+    assert np.array_equal(cv2.morphologyEx(bi, cv2.MORPH_CLOSE, ek),
+                          np.asarray(M.closing(jnp.asarray(bi), k, "ellipse")))
+    assert np.array_equal(cv2.morphologyEx(bi, cv2.MORPH_OPEN, ek),
+                          np.asarray(M.opening(jnp.asarray(bi), k, "ellipse")))
+
+
+# --- threshold ---------------------------------------------------------------------
+
+def test_otsu_matches_cv2(rng):
+    f = rng.standard_normal((64, 64)).astype(np.float32)
+    f[:32] += 3.0
+    mn, mx = f.min(), f.max()
+    norm = np.clip((f - mn) / (mx - mn + 1e-10) * 255, 0, 255).astype(np.uint8)
+    _, mcv = cv2.threshold(norm, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    assert np.array_equal((mcv > 0).astype(np.uint8),
+                          np.asarray(T.threshold_otsu(jnp.asarray(f))))
+
+
+def test_threshold_binary_nan_handling():
+    x = np.array([[np.nan, 0.5], [-0.2, 0.1]], dtype=np.float32)
+    out = np.asarray(T.threshold_binary(jnp.asarray(x), 0.0))
+    assert np.array_equal(out, [[0, 1], [0, 1]])
+
+
+# --- components -----------------------------------------------------------------------
+
+def test_connected_components_partition(rng):
+    bi = (rng.random((80, 90)) > 0.6).astype(np.uint8)
+    ref, n = ndi.label(bi, structure=np.ones((3, 3)))
+    ours = np.asarray(C.connected_components(jnp.asarray(bi), 8))
+    for l in range(1, n + 1):
+        px = ref == l
+        vals = np.unique(ours[px])
+        assert len(vals) == 1
+        assert not (ours[~px] == vals[0]).any()
+    assert (ours[bi == 0] == -1).all()
+
+
+def test_remove_small_components_matches_scipy(rng):
+    bi = (rng.random((80, 90)) > 0.6).astype(np.uint8)
+    lab, _ = ndi.label(bi, structure=np.ones((3, 3)))
+    area = np.bincount(lab.ravel())
+    rm = np.where((area < 20) & (area > 0))[0]
+    ref = bi.copy()
+    ref[np.isin(lab, rm)] = 0
+    assert np.array_equal(ref, np.asarray(
+        C.remove_small_components(jnp.asarray(bi), 20)))
+
+
+def test_fill_holes_matches_scipy():
+    m = np.zeros((30, 30), np.uint8)
+    m[5:25, 5:25] = 1
+    m[10:15, 10:15] = 0
+    m[20:22, 20:22] = 0
+    assert np.array_equal(ndi.binary_fill_holes(m).astype(np.uint8),
+                          np.asarray(C.fill_holes(jnp.asarray(m))))
+
+
+def test_post_process_matches_reference_chain(rng):
+    bi = (rng.random((60, 60)) > 0.55).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    ref = cv2.morphologyEx(bi, cv2.MORPH_CLOSE, k)
+    lab, _ = ndi.label(ref, structure=np.ones((3, 3)))
+    area = np.bincount(lab.ravel())
+    rm = np.where((area < 15) & (area > 0))[0]
+    ref[np.isin(lab, rm)] = 0
+    ref = cv2.morphologyEx(ref, cv2.MORPH_OPEN, k)
+    ours = np.asarray(C.post_process_mask(jnp.asarray(bi), min_area=15,
+                                          smooth_kernel_size=3))
+    assert np.array_equal(ref, ours)
+
+
+# --- stencils -------------------------------------------------------------------------
+
+def test_box_filter_matches_cv2(rng):
+    x = rng.standard_normal((50, 55)).astype(np.float32)
+    for k in [1, 3, 5, 7]:
+        ref = cv2.blur(x, (k, k))
+        ours = np.asarray(ST.box_filter(jnp.asarray(x), k))
+        assert np.abs(ref - ours).max() < 1e-4, k
+    ref = cv2.boxFilter(x, -1, (7, 7), normalize=True,
+                        borderType=cv2.BORDER_REFLECT)
+    ours = np.asarray(ST.box_filter(jnp.asarray(x), 7, border="reflect"))
+    assert np.abs(ref - ours).max() < 1e-4
+
+
+@pytest.mark.parametrize("k", [5, 15])
+def test_gaussian_blur_u8_matches_cv2(rng, k):
+    u8 = rng.integers(0, 256, (50, 55), dtype=np.uint8)
+    ref = cv2.GaussianBlur(u8, (k, k), 0)
+    ours = np.asarray(ST.gaussian_blur_u8(jnp.asarray(u8), k))
+    assert np.abs(ref.astype(int) - ours.astype(int)).max() <= 1
+
+
+def test_laplacian_sobel_match_cv2(rng):
+    u8 = rng.integers(0, 256, (50, 55), dtype=np.uint8)
+    x = jnp.asarray(u8).astype(jnp.float32)
+    assert np.abs(cv2.Laplacian(u8, cv2.CV_32F) - np.asarray(ST.laplacian(x))).max() < 1e-4
+    sx, sy = ST.sobel_xy(x)
+    assert np.abs(cv2.Sobel(u8, cv2.CV_32F, 1, 0) - np.asarray(sx)).max() < 1e-4
+    assert np.abs(cv2.Sobel(u8, cv2.CV_32F, 0, 1) - np.asarray(sy)).max() < 1e-4
+
+
+def test_gabor_kernel_matches_cv2():
+    ref = cv2.getGaborKernel((7, 7), sigma=1.0, theta=0.5, lambd=10.0,
+                             gamma=0.5, psi=0, ktype=cv2.CV_32F)
+    assert np.abs(ref - ST.gabor_kernel(7, 1.0, 0.5, 10.0, 0.5)).max() < 1e-5
+
+
+def test_gabor_bank_param_count():
+    assert len(ST.gabor_bank_params()) == 24
