@@ -1,0 +1,148 @@
+"""PCA / KMeans / forest vs sklearn oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_image_segmentation_tpu.models import forest as F
+from rs_image_segmentation_tpu.models import kmeans as KM
+from rs_image_segmentation_tpu.models import pca as P
+
+
+# --- PCA -----------------------------------------------------------------------
+
+def test_robust_scale_matches_sklearn(rng):
+    from sklearn.preprocessing import RobustScaler
+    x = rng.standard_normal((500, 7)).astype(np.float32) * 10
+    ref = RobustScaler().fit_transform(x)
+    ours = np.asarray(P.robust_scale(jnp.asarray(x)))
+    assert np.abs(ref - ours).max() < 1e-4
+
+
+def test_pca_matches_sklearn(rng):
+    from sklearn.decomposition import PCA
+    from sklearn.preprocessing import RobustScaler
+    x = rng.standard_normal((2000, 7)).astype(np.float32)
+    x[:, 1] *= 5
+    x[:, 3] += x[:, 1] * 0.7
+    xs = RobustScaler().fit_transform(x)
+    sk = PCA()
+    ref_t = sk.fit_transform(xs)
+    res = P.pca_fit_transform(jnp.asarray(x), use_robust_scaling=True)
+    assert np.abs(np.asarray(res.explained_variance_ratio)
+                  - sk.explained_variance_ratio_).max() < 1e-4
+    # components match up to the shared svd_flip sign convention
+    assert np.abs(np.asarray(res.components) - sk.components_).max() < 1e-3
+    assert np.abs(np.asarray(res.transformed) - ref_t).max() < 1e-2
+
+
+def test_pca_bands_layout(rng):
+    bands = rng.random((7, 24, 25)).astype(np.float32)
+    imgs, ratio = P.pca_bands(jnp.asarray(bands))
+    assert imgs.shape == (7, 24, 25)
+    assert ratio.shape == (7,)
+    assert float(jnp.sum(ratio)) == pytest.approx(1.0, abs=1e-5)
+
+
+# --- KMeans ----------------------------------------------------------------------
+
+def test_kmeans_quality_matches_sklearn(rng):
+    from sklearn.cluster import KMeans
+    # three well-separated blobs + noise dims
+    centers = rng.standard_normal((5, 8)) * 8
+    x = np.concatenate([centers[i] + rng.standard_normal((300, 8))
+                        for i in range(5)]).astype(np.float32)
+    sk = KMeans(n_clusters=5, random_state=42, n_init="auto").fit(x)
+    labels, state = KM.kmeans_fit_predict(jnp.asarray(x), 5, seed=42)
+    assert float(state.inertia) <= sk.inertia_ * 1.01
+    # cluster structure identical up to permutation on well-separated blobs
+    ours = np.asarray(labels)
+    for i in range(5):
+        blob = ours[i * 300:(i + 1) * 300]
+        assert (blob == np.bincount(blob).argmax()).mean() > 0.95
+
+
+def test_kmeans_deterministic(rng):
+    x = rng.standard_normal((500, 4)).astype(np.float32)
+    l1, s1 = KM.kmeans_fit_predict(jnp.asarray(x), 4, seed=7)
+    l2, s2 = KM.kmeans_fit_predict(jnp.asarray(x), 4, seed=7)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    assert float(s1.inertia) == float(s2.inertia)
+
+
+def test_minmax_scale_matches_sklearn(rng):
+    from sklearn.preprocessing import MinMaxScaler
+    x = rng.standard_normal((200, 6)).astype(np.float32)
+    ref = MinMaxScaler().fit_transform(x)
+    assert np.abs(ref - np.asarray(KM.minmax_scale_features(jnp.asarray(x)))).max() < 1e-6
+
+
+# --- forest -------------------------------------------------------------------------
+
+def _blob_data(rng, n=600, f=10, c=3):
+    centers = rng.standard_normal((c, f)) * 3
+    x = np.concatenate([centers[i] + rng.standard_normal((n // c, f))
+                        for i in range(c)]).astype(np.float32)
+    y = np.repeat(np.arange(1, c + 1), n // c)
+    return x, y
+
+
+def test_forest_from_sklearn_exact_parity(rng):
+    from sklearn.ensemble import RandomForestClassifier
+    x, y = _blob_data(rng)
+    clf = RandomForestClassifier(n_estimators=25, random_state=42).fit(x, y)
+    forest, depth = F.forest_from_sklearn(clf)
+    xq = rng.standard_normal((3000, 10)).astype(np.float32) * 3
+    ref = clf.predict(xq)
+    ours = np.asarray(F.forest_predict(forest, jnp.asarray(xq), depth,
+                                       chunk=1024))
+    assert (ref == ours).mean() > 0.999  # fp32 proba averaging near-ties only
+    ref_proba = clf.predict_proba(xq)
+    ours_proba = np.asarray(F.forest_predict_proba(forest, jnp.asarray(xq),
+                                                   depth, chunk=1024))
+    assert np.abs(ref_proba - ours_proba).max() < 1e-5
+
+
+def test_forest_bundled_model_parity():
+    import os
+    import warnings
+    import joblib
+    path = "/root/reference/output/rf_samples_model.pkl"
+    if not os.path.exists(path):
+        pytest.skip("bundled model unavailable")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        clf = joblib.load(path)
+    forest, depth = F.forest_from_sklearn(clf)
+    rng = np.random.default_rng(0)
+    xq = rng.random((5000, clf.n_features_in_)).astype(np.float32)
+    ref = clf.predict(xq)
+    ours = np.asarray(F.forest_predict(forest, jnp.asarray(xq), depth,
+                                       chunk=1024))
+    assert np.array_equal(ref, ours)
+
+
+def test_own_trainer_accuracy(rng):
+    x, y = _blob_data(rng, n=900)
+    perm = rng.permutation(len(y))
+    x, y = x[perm], y[perm]
+    xtr, ytr = x[:600], y[:600]
+    xte, yte = x[600:], y[600:]
+    forest, depth = F.fit_random_forest(xtr, ytr, n_estimators=30, seed=42)
+    pred = np.asarray(F.forest_predict(forest, jnp.asarray(xte), depth,
+                                       chunk=512))
+    acc = (pred == yte).mean()
+    from sklearn.ensemble import RandomForestClassifier
+    sk = RandomForestClassifier(n_estimators=30, random_state=42).fit(xtr, ytr)
+    sk_acc = (sk.predict(xte) == yte).mean()
+    assert acc >= sk_acc - 0.03, (acc, sk_acc)
+
+
+def test_own_trainer_tiny_sample(rng):
+    # the bundled workflow trains on 33 samples (supervised_classifiers.py:135)
+    x = rng.random((33, 19)).astype(np.float32)
+    y = np.array([1] * 7 + [2] * 13 + [3] * 13)
+    forest, depth = F.fit_random_forest(x, y, n_estimators=100, seed=42)
+    pred = np.asarray(F.forest_predict(forest, jnp.asarray(x), depth, chunk=64))
+    assert (pred == y).mean() == 1.0  # unpruned RF memorizes its train set
