@@ -85,6 +85,10 @@ def kmeans_plus_plus_init(key: jax.Array, x: jnp.ndarray, k: int,
         return cents.at[i].set(c), new_d2
 
     d2 = jnp.full((n,), jnp.inf, jnp.float32)
+    if axis_name:
+        # mark the carry as varying over the mesh axis for shard_map's
+        # varying-manual-axes type system
+        d2 = jax.lax.pcast(d2, axis_name, to="varying")
     cents, _ = jax.lax.fori_loop(1, k, body, (cents, d2))
     return cents
 

@@ -1,0 +1,8 @@
+#!/usr/bin/env python3
+"""Stage 2 entry point (reference scripts/2_feature_extraction.py parity)."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from rs_image_segmentation_tpu.cli.stages import stage2
+
+if __name__ == "__main__":
+    stage2()

@@ -1,0 +1,95 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh (conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
+from rs_image_segmentation_tpu.ops.stencil import box_filter
+from rs_image_segmentation_tpu.parallel.mesh import make_mesh
+from rs_image_segmentation_tpu.parallel.sharded import (
+    halo_map, sharded_forest_predict, sharded_kmeans_fit_predict)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(axis_names=("data",))
+
+
+@pytest.fixture(scope="module")
+def tile_mesh():
+    return make_mesh(axis_names=("tile",))
+
+
+def test_mesh_has_8_devices(mesh):
+    assert mesh.devices.size == 8
+
+
+def test_halo_map_equals_monolithic_box_filter(tile_mesh, rng):
+    x = jnp.asarray(rng.standard_normal((3, 64, 40)).astype(np.float32))
+    ref = box_filter(x, 7)  # reflect101 border
+    tiled = halo_map(lambda p: box_filter(p, 7), x, halo=3, mesh=tile_mesh)
+    assert np.abs(np.asarray(ref) - np.asarray(tiled)).max() < 1e-5
+
+
+def test_halo_map_small_halo_differs_only_at_seams(tile_mesh, rng):
+    # sanity: with a sufficient halo, a 3x3 stencil also matches exactly
+    x = jnp.asarray(rng.standard_normal((1, 64, 32)).astype(np.float32))
+    ref = box_filter(x, 3)
+    tiled = halo_map(lambda p: box_filter(p, 3), x, halo=1, mesh=tile_mesh)
+    assert np.abs(np.asarray(ref) - np.asarray(tiled)).max() < 1e-5
+
+
+def test_sharded_kmeans_matches_single_device(mesh, rng):
+    centers = rng.standard_normal((4, 6)) * 6
+    x = np.concatenate([centers[i] + rng.standard_normal((200, 6))
+                        for i in range(4)]).astype(np.float32)
+    perm = rng.permutation(len(x))
+    x = x[perm]
+    labels_1, state_1 = kmeans_fit_predict(jnp.asarray(x), 4, seed=3)
+    labels_8, cents_8 = sharded_kmeans_fit_predict(jnp.asarray(x), 4, mesh,
+                                                   seed=3)
+    # same data, same seed; gumbel picks differ between global/local argmax
+    # layouts only through fp ordering -> compare clustering quality
+    c1 = np.asarray(state_1.centroids)
+    c8 = np.asarray(cents_8)
+
+    def inertia(c):
+        d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+        return d.min(1).sum()
+
+    assert inertia(c8) <= inertia(c1) * 1.05
+    # labels must be a valid partition of all points
+    l8 = np.asarray(labels_8)
+    assert l8.shape == (len(x),)
+    assert set(np.unique(l8)) <= set(range(4))
+
+
+def test_sharded_forest_matches_single_device(mesh, rng):
+    from rs_image_segmentation_tpu.models.forest import (fit_random_forest,
+                                                         forest_predict)
+    x = rng.standard_normal((600, 8)).astype(np.float32)
+    y = (x[:, 0] + x[:, 3] > 0).astype(np.int64) + 1
+    forest, depth = fit_random_forest(x, y, n_estimators=15, seed=0)
+    xq = rng.standard_normal((1000, 8)).astype(np.float32)
+    ref = np.asarray(forest_predict(forest, jnp.asarray(xq), depth, chunk=256))
+    got = np.asarray(sharded_forest_predict(forest, jnp.asarray(xq), depth,
+                                            mesh, chunk=128))
+    assert np.array_equal(ref, got)
+
+
+def test_sharded_feature_stack_small(mesh, rng):
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.parallel.sharded import (
+        sharded_hierarchical_stack)
+    from rs_image_segmentation_tpu.pipeline.features import hierarchical_stack
+
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8))
+    scenes = jnp.asarray(rng.random((8, 7, 48, 48)).astype(np.float32))
+    out = sharded_hierarchical_stack(scenes, mesh, cfg)
+    assert out.shape == (8, 48, 48, 19)
+    ref = hierarchical_stack(scenes[3], cfg)
+    assert np.abs(np.asarray(ref) - np.asarray(out[3])).max() < 1e-4
