@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark: end-to-end scene classification throughput on the device.
+
+Pipeline measured (steady state, post-compile, host->device included):
+  uint8 scene -> preprocess (calibrate/warp/stretch) -> full 19-channel
+  feature stack (indices, PCA, GLCM, LBP, multi-scale+entropy, morphology,
+  filters, spatial context) -> random-forest predict over every pixel.
+
+Accuracy gate: Kappa vs the bundled ROI must stay within 0.5% of the
+sklearn-based reference replay (BASELINE.md: OA 0.970 / Kappa 0.953).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+vs_baseline compares against the reference CPU throughput of 0.058 MP/s
+(BASELINE.md "end-to-end excl. GLCM/LBP/entropy" — conservative: our
+pipeline INCLUDES those stages).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MP_PER_S = 0.058
+SCENE = "/root/reference/data/raw/AA.tif"
+SAMPLES = "/root/reference/data/samples.pkl"
+ROI = "/root/reference/output/ROI/roi_mask.npy"
+
+
+def main() -> None:
+    import jax
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.io.tiff import read_tiff
+    from rs_image_segmentation_tpu.models.forest import forest_predict
+    from rs_image_segmentation_tpu.pipeline.features import extract_features
+    from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
+    from rs_image_segmentation_tpu.tools.supervised import (
+        train_random_forest_from_samples)
+    from rs_image_segmentation_tpu.tools.sampling import SampleSet
+    from rs_image_segmentation_tpu.pipeline.evaluate import (
+        evaluate_classification)
+
+    arr, info = read_tiff(SCENE)
+    h, w = arr.shape[1], arr.shape[2]
+    mp = h * w / 1e6
+    cal = CalibrationConfig()
+    gains = jnp.asarray(cal.gains, jnp.float32)
+    biases = jnp.asarray(cal.biases, jnp.float32)
+
+    def features_for(bands_np):
+        pre = preprocess_bands(jnp.asarray(bands_np), gains, biases)
+        _, hier = extract_features(pre.astype(jnp.float32))
+        return hier["all"]
+
+    # train once (host-side fit on the 33 bundled samples)
+    stack0 = np.asarray(features_for(arr))
+    coords, labels = SampleSet.load(SAMPLES)
+    x_train = np.nan_to_num(stack0[coords[:, 1], coords[:, 0], :])
+    forest, depth = train_random_forest_from_samples(x_train, labels)
+
+    def classify(bands_np):
+        stack = features_for(bands_np)
+        flat = stack.reshape(-1, stack.shape[-1])
+        pred = forest_predict(forest, flat, depth)
+        return pred.reshape(h, w)
+
+    # warmup/compile
+    out = classify(arr)
+    out.block_until_ready()
+
+    # steady-state measurement
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = classify(arr)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    mp_per_s = mp / dt
+
+    # accuracy gate
+    class_map = np.asarray(out)
+    roi = np.load(ROI)
+    metrics = evaluate_classification(class_map, roi)
+    kappa = metrics["kappa"]
+    oa = metrics["overall_accuracy"]
+
+    result = {
+        "metric": "e2e scene classification (preprocess+19ch features+RF)",
+        "value": round(mp_per_s, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mp_per_s / BASELINE_MP_PER_S, 2),
+        "seconds_per_scene": round(dt, 5),
+        "oa": round(oa, 4),
+        "kappa": round(kappa, 4),
+        "kappa_baseline": 0.953,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

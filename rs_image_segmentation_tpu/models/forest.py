@@ -2,14 +2,21 @@
 
 The reference's hot path is RandomForestClassifier.predict over every pixel
 (360k x 19 x 100 trees, extract.py:690-719 / supervised_classifiers.py:99).
-Here the fitted forest is compiled to padded tensors — per-tree node arrays
-(feature, threshold, left, right, leaf distribution) — and evaluated as a
-vectorized level-synchronous traversal: ``max_depth`` rounds of
-gather + compare + select over all (pixel, tree) pairs at once, then a mean
-over per-tree leaf distributions and an argmax (sklearn predict semantics:
-average of predict_proba, ties -> lowest class index). Pixels stream through
-in fixed-size chunks via ``lax.map`` so the working set stays in VMEM-sized
-blocks.
+Two device strategies:
+
+  * GEMM mode (default for forests with a bounded leaf count): the whole
+    forest compiles to three static matrices — a (F, nodes) one-hot feature
+    selector, a (nodes, leaves) signed path matrix, and a (leaves, classes)
+    distribution table — and inference is three MXU matmuls plus two
+    comparisons. ZERO gathers; a leaf fires iff the signed sum of its path
+    decisions equals its path length. This is the TPU-shaped formulation of
+    tree inference (cf. Hummingbird's GEMM strategy).
+  * Level-synchronous traversal (fallback for very large forests where the
+    leaf dimension would blow up): ``max_depth`` rounds of flat-index
+    gather + compare + select over all (pixel, tree) pairs.
+
+Both match sklearn's predict semantics: average of per-tree predict_proba,
+argmax with ties -> lowest class index.
 
 Training: 33..1e4-sample fits are not a TPU problem. ``fit_random_forest``
 is a self-contained NumPy CART trainer (gini, bootstrap, sqrt feature
@@ -45,6 +52,122 @@ class FlatForest(NamedTuple):
     @property
     def n_trees(self) -> int:
         return self.feature.shape[0]
+
+
+class GemmForest(NamedTuple):
+    """All-matmul forest form: zero gathers on device.
+
+    For pixel row x: s = sign(x @ selector <= thresholds)  in {+1, -1};
+    leaf l fires iff (s @ path)[l] == path_len[l]; output proba =
+    indicator @ leaf_dist (leaf_dist pre-divided by n_trees)."""
+    selector: jnp.ndarray    # (F, M) one-hot feature picker, bf16
+    thresholds: jnp.ndarray  # (M,) float32
+    path: jnp.ndarray        # (M, L) in {-1, 0, +1}, bf16
+    path_len: jnp.ndarray    # (L,) float32
+    leaf_dist: jnp.ndarray   # (L, C) float32 per-tree distributions (raw);
+    # summed exactly then divided once by n_trees (keeps one-hot leaf sums
+    # integer-exact in f32 -> argmax parity with sklearn's f64 mean)
+    inv_trees: jnp.ndarray   # () float32, 1 / n_trees
+    classes: jnp.ndarray     # (C,)
+
+
+def forest_to_gemm(forest: FlatForest, n_features: int) -> GemmForest:
+    """Compile a FlatForest into its GEMM form (host-side, static)."""
+    feature = np.asarray(forest.feature)
+    threshold = np.asarray(forest.threshold)
+    left = np.asarray(forest.left)
+    right = np.asarray(forest.right)
+    proba = np.asarray(forest.leaf_proba)
+    t_count = feature.shape[0]
+
+    sel_rows = []      # feature index per internal node
+    thr_vals = []
+    paths = []         # per leaf: list of (node_col, sign)
+    leaf_dists = []
+
+    for t in range(t_count):
+        node_col: dict = {}
+
+        def walk(node, trail):
+            if left[t, node] == node:  # leaf (self-loop)
+                paths.append(list(trail))
+                leaf_dists.append(proba[t, node])
+                return
+            if node not in node_col:
+                node_col[node] = len(sel_rows)
+                sel_rows.append(feature[t, node])
+                thr_vals.append(threshold[t, node])
+            col = node_col[node]
+            walk(left[t, node], trail + [(col, 1.0)])
+            walk(right[t, node], trail + [(col, -1.0)])
+
+        import sys
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(100000)
+        try:
+            walk(0, [])
+        finally:
+            sys.setrecursionlimit(old)
+
+    m = len(sel_rows)
+    l = len(paths)
+    selector = np.zeros((n_features, max(m, 1)), np.float32)
+    for col, f in enumerate(sel_rows):
+        selector[f, col] = 1.0
+    thresholds = np.asarray(thr_vals, np.float32) if m else np.zeros(1, np.float32)
+    path = np.zeros((max(m, 1), l), np.float32)
+    path_len = np.zeros(l, np.float32)
+    for li, trail in enumerate(paths):
+        path_len[li] = len(trail)
+        for col, sign in trail:
+            path[col, li] = sign
+    leaf_dist = np.stack(leaf_dists).astype(np.float32)
+    return GemmForest(jnp.asarray(selector, jnp.bfloat16),
+                      jnp.asarray(thresholds),
+                      jnp.asarray(path, jnp.bfloat16),
+                      jnp.asarray(path_len),
+                      jnp.asarray(leaf_dist),
+                      jnp.asarray(1.0 / t_count, jnp.float32),
+                      forest.classes)
+
+
+def _gemm_block_proba(gf: GemmForest, xb: jnp.ndarray) -> jnp.ndarray:
+    # feature pick: one-hot matmul in f32 HIGHEST -> exact value copy, so
+    # the <= threshold comparison is bit-identical to sklearn's
+    xv = jnp.dot(xb.astype(jnp.float32), gf.selector.astype(jnp.float32),
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    s = jnp.where(xv <= gf.thresholds[None, :], 1.0, -1.0).astype(jnp.bfloat16)
+    # +/-1 and {-1,0,1} operands are exact in bf16; f32 accumulation keeps
+    # the vote sums (<= max depth) exact
+    votes = jnp.dot(s, gf.path, preferred_element_type=jnp.float32)
+    fired = (votes == gf.path_len[None, :]).astype(jnp.float32)
+    total = jnp.dot(fired, gf.leaf_dist, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    return total * gf.inv_trees
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def gemm_forest_proba(gf: GemmForest, x: jnp.ndarray,
+                      chunk: int = 8192) -> jnp.ndarray:
+    """Mean forest proba for (N, F) rows — three matmuls, no gathers.
+    Pixels stream in ``chunk`` blocks so the (chunk, leaves) intermediates
+    stay modest."""
+    n, f = x.shape
+    if n <= chunk:
+        return _gemm_block_proba(gf, x)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    blocks = xp.reshape(-1, chunk, f)
+    out = jax.lax.map(lambda xb: _gemm_block_proba(gf, xb), blocks)
+    return out.reshape(-1, gf.leaf_dist.shape[-1])[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def gemm_forest_predict(gf: GemmForest, x: jnp.ndarray,
+                        chunk: int = 8192) -> jnp.ndarray:
+    proba = gemm_forest_proba(gf, x, chunk)
+    return gf.classes[jnp.argmax(proba, axis=1)]
 
 
 def _pack_trees(trees: Sequence[dict], classes: np.ndarray,
@@ -95,8 +218,8 @@ def forest_from_sklearn(clf) -> "tuple[FlatForest, int]":
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "chunk"))
-def forest_predict_proba(forest: FlatForest, x: jnp.ndarray,
-                         max_depth: int, chunk: int = 65536) -> jnp.ndarray:
+def _traversal_proba(forest: FlatForest, x: jnp.ndarray,
+                     max_depth: int, chunk: int = 65536) -> jnp.ndarray:
     """Mean per-tree leaf distribution for each row of (N, F) ``x``.
 
     Level-synchronous traversal: each of ``max_depth`` rounds advances every
@@ -127,6 +250,37 @@ def forest_predict_proba(forest: FlatForest, x: jnp.ndarray,
 
     out = jax.lax.map(one_block, blocks)
     return out.reshape(-1, forest.leaf_proba.shape[-1])[:n]
+
+
+# host-side cache: FlatForest buffers -> compiled GemmForest
+_GEMM_CACHE: dict = {}
+GEMM_MAX_LEAVES = 16384
+
+
+def _gemm_for(forest: FlatForest, n_features: int) -> Optional[GemmForest]:
+    key = (id(forest.feature), n_features)
+    if key in _GEMM_CACHE:
+        return _GEMM_CACHE[key]
+    gf = forest_to_gemm(forest, n_features)
+    if gf.path.shape[1] > GEMM_MAX_LEAVES:
+        gf = None
+    _GEMM_CACHE[key] = gf
+    return gf
+
+
+def _gemm_chunk(n_leaves: int) -> int:
+    """Block size keeping the (chunk, leaves) f32 intermediate <= ~64 MB."""
+    return max(512, min(65536, (64 << 20) // max(4 * n_leaves, 1)))
+
+
+def forest_predict_proba(forest: FlatForest, x: jnp.ndarray,
+                         max_depth: int, chunk: int = 65536) -> jnp.ndarray:
+    """Mean forest proba; auto-dispatches to the all-matmul GEMM form when
+    the forest's leaf count is bounded, else the level traversal."""
+    gf = _gemm_for(forest, x.shape[1])
+    if gf is not None:
+        return gemm_forest_proba(gf, x, _gemm_chunk(gf.path.shape[1]))
+    return _traversal_proba(forest, x, max_depth, chunk)
 
 
 def forest_predict(forest: FlatForest, x: jnp.ndarray,

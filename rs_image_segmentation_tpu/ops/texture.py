@@ -70,7 +70,6 @@ def glcm_matrices(windows: jnp.ndarray, levels: int,
     float32, matching skimage.graycomatrix(symmetric, normed) per window.
     """
     n, ws, _ = windows.shape
-    eye = jnp.eye(levels, dtype=jnp.float32)
     out = []
     for d in distances:
         per_angle = []
@@ -80,8 +79,11 @@ def glcm_matrices(windows: jnp.ndarray, levels: int,
             c0, c1 = max(0, -dc), min(ws, ws - dc)
             src = windows[:, r0:r1, c0:c1].reshape(n, -1)
             dst = windows[:, r0 + dr:r1 + dr, c0 + dc:c1 + dc].reshape(n, -1)
-            a_oh = eye[src]                      # (N, P, L)
-            b_oh = eye[dst]                      # (N, P, L)
+            lv = jnp.arange(levels, dtype=windows.dtype)
+            # comparison-based one-hot (no gather); bf16 operands are exact
+            # for 0/1 and the MXU accumulates in f32
+            a_oh = (src[:, :, None] == lv[None, None, :]).astype(jnp.bfloat16)
+            b_oh = (dst[:, :, None] == lv[None, None, :]).astype(jnp.bfloat16)
             cm = jnp.einsum("npa,npb->nab", a_oh, b_oh,
                             preferred_element_type=jnp.float32)
             per_angle.append(cm)
@@ -218,34 +220,73 @@ def disk_footprint(radius: int) -> np.ndarray:
     return (x * x + y * y <= radius * radius).astype(np.float32)
 
 
+def _disk_spans(radius: int):
+    """Per-row contiguous spans (dy, half_width) of the disk footprint."""
+    fp = disk_footprint(radius)
+    spans = []
+    for i in range(2 * radius + 1):
+        row = np.nonzero(fp[i])[0]
+        spans.append((i - radius, int(row.min()) - radius,
+                      int(row.max()) - radius))
+    return tuple(spans)
+
+
+def _span_count(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Windowed sum over the disk footprint of (..., H, W), zero outside the
+    image: one horizontal reduce_window-add per distinct span width plus a
+    vertical shifted accumulate — cheap regardless of the level-axis size."""
+    spans = _disk_spans(radius)
+    widths = {}
+    for dy, dx0, dx1 in spans:
+        widths.setdefault((dx0, dx1), []).append(dy)
+    h_axis, w_axis = x.ndim - 2, x.ndim - 1
+    out = None
+
+    def window_sum(v, window, lo, axis):
+        dims = [1] * v.ndim
+        dims[axis] = window
+        pads = [(0, 0)] * v.ndim
+        pads[axis] = (-lo, window - 1 + lo)
+        return jax.lax.reduce_window(v, jnp.asarray(0, v.dtype), jax.lax.add,
+                                     tuple(dims), (1,) * v.ndim, tuple(pads))
+
+    for (dx0, dx1), dys in widths.items():
+        row = window_sum(x, dx1 - dx0 + 1, dx0, w_axis)
+        dys = sorted(dys)
+        runs = [[dys[0], dys[0]]]
+        for d in dys[1:]:
+            if d == runs[-1][1] + 1:
+                runs[-1][1] = d
+            else:
+                runs.append([d, d])
+        for lo, hi in runs:
+            v = window_sum(row, hi - lo + 1, lo, h_axis)
+            out = v if out is None else out + v
+    return out
+
+
 def windowed_entropy_u8(band_u8: jnp.ndarray, radius: int,
-                        levels: int = 256, chunk: int = 32) -> jnp.ndarray:
+                        levels: int = 256, chunk: int = 256) -> jnp.ndarray:
     """Local Shannon entropy (bits) over a disk footprint, normalizing by the
     number of in-bounds footprint pixels — skimage.filters.rank.entropy
-    semantics. Runs as depthwise SAME convolutions over one-hot level planes,
-    ``chunk`` levels at a time."""
+    semantics.
+
+    Per-level counts come from span-decomposed windowed sums over one-hot
+    level planes in bfloat16 (counts <= disk area << 256 are exact in bf16's
+    8-bit mantissa), ``chunk`` levels at a time.
+    """
     h, w = band_u8.shape
-    fp = disk_footprint(radius)
-    k = jnp.asarray(fp).reshape(1, 1, *fp.shape)
-
-    ones = jnp.ones((1, 1, h, w), jnp.float32)
-    total = jax.lax.conv_general_dilated(
-        ones, k, (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST)[0, 0]
-
+    total = _span_count(jnp.ones((h, w), jnp.float32), radius)
     vals = band_u8.astype(jnp.int32)
     ent = jnp.zeros((h, w), jnp.float32)
     for lo in range(0, levels, chunk):
         c = min(chunk, levels - lo)
         onehot = (vals[None, :, :] ==
-                  (lo + jnp.arange(c))[:, None, None]).astype(jnp.float32)
-        counts = jax.lax.conv_general_dilated(
-            onehot[None], jnp.tile(k, (c, 1, 1, 1)), (1, 1), "SAME",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST)[0]
+                  (lo + jnp.arange(c))[:, None, None]).astype(jnp.bfloat16)
+        counts = _span_count(onehot, radius).astype(jnp.float32)
         p = counts / total[None]
-        ent = ent - jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)),
+        ent = ent - jnp.sum(jnp.where(p > 0,
+                                      p * jnp.log2(jnp.where(p > 0, p, 1.0)),
                                       0.0), axis=0)
     return ent
 

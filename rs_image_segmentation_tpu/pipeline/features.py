@@ -82,61 +82,92 @@ def add_spatial_context(stack_hwc: jnp.ndarray, window_size: int = 7
     return jnp.concatenate([stack_hwc, jnp.moveaxis(ctx, 0, -1)], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "normalize_input",
-                                             "include_entropy"))
+# Per-family jits: compiling the whole stage as ONE XLA program makes
+# compile time superlinear (measured: >10 min on the remote-compile TPU path
+# vs ~90 s for the families separately), while steady-state loses nothing —
+# cross-family fusion opportunities are negligible. Intermediates stay on
+# device between the sub-jits.
+_normalize_all = jax.jit(
+    lambda b, lo, hi, eps: jax.vmap(
+        lambda x: robust_normalize(x, lo, hi, eps))(b),
+    static_argnums=(1, 2, 3))
+_indices_jit = jax.jit(spectral_indices)
+_pca_jit = jax.jit(pca_bands, static_argnames=("n_components",
+                                               "use_robust_scaling"))
+_tex_norm_jit = jax.jit(robust_normalize)
+_glcm_jit = jax.jit(glcm_feature_maps,
+                    static_argnames=("levels", "window_size", "step_size",
+                                     "distances", "angles"))
+_lbp_jit = jax.jit(lbp_feature, static_argnames=("n_points", "radius"))
+_multiscale_jit = jax.jit(multi_scale_features,
+                          static_argnames=("scales", "entropy_max_scale",
+                                           "include_entropy"))
+_morph_jit = jax.jit(morphological_features, static_argnames=("kernel_sizes",))
+_filters_jit = jax.jit(filter_responses)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def _assemble_jit(ndwi, mndwi, ndvi, evi, ndbi, bsi, pc1,
+                  glcm_contrast, glcm_homogeneity, morph_gradient_5,
+                  std_dev_scale_5, sobel_mag, window_size: int = 7):
+    level_1 = jnp.stack([ndwi, mndwi, ndvi, evi, ndbi, bsi, pc1], axis=-1)
+    level_2 = jnp.stack([glcm_contrast, glcm_homogeneity, morph_gradient_5,
+                         std_dev_scale_5, sobel_mag], axis=-1)
+    level_1_ctx = add_spatial_context(level_1, window_size)
+    return {
+        "level_1": level_1_ctx,
+        "level_2": level_2,
+        "all": jnp.concatenate([level_1_ctx, level_2], axis=-1),
+    }
+
+
 def extract_features(bands: jnp.ndarray,
                      cfg: FeatureStageConfig = FeatureStageConfig(),
                      normalize_input: bool = True,
                      include_entropy: bool = True):
-    """The fused stage-2 graph: (7, H, W) raw/preprocessed bands ->
+    """The stage-2 graph: (7, H, W) raw/preprocessed bands ->
     (features dict, hierarchical dict with 'level_1' 14ch / 'level_2' 5ch /
-    'all' 19ch H x W x C stacks)."""
+    'all' 19ch H x W x C stacks). Composed of per-family jits; everything
+    stays on device end to end."""
     bands = bands.astype(jnp.float32)
     if normalize_input:
-        bands = jax.vmap(lambda b: robust_normalize(
-            b, cfg.normalize.lower_percentile, cfg.normalize.upper_percentile,
-            cfg.normalize.epsilon))(bands)
+        bands = _normalize_all(bands, cfg.normalize.lower_percentile,
+                               cfg.normalize.upper_percentile,
+                               cfg.normalize.epsilon)
 
     feats: Dict[str, jnp.ndarray] = {}
-    feats.update(spectral_indices(bands))
+    feats.update(_indices_jit(bands))
 
-    pca_imgs, variance_ratio = pca_bands(bands, use_robust_scaling=True)
+    pca_imgs, variance_ratio = _pca_jit(bands, use_robust_scaling=True)
     feats["pca_result"] = pca_imgs
     feats["variance_ratio"] = variance_ratio
 
     nir01 = bands[cfg.texture_band_index]
     # each texture family re-normalizes its input, as the reference does
-    tex01 = robust_normalize(nir01)
+    tex01 = _tex_norm_jit(nir01)
 
-    glcm = glcm_feature_maps(tex01, cfg.glcm.levels, cfg.glcm.window_size,
-                             cfg.glcm.step_size, cfg.glcm.distances,
-                             cfg.glcm.angles)
+    glcm = _glcm_jit(tex01, cfg.glcm.levels, cfg.glcm.window_size,
+                     cfg.glcm.step_size, cfg.glcm.distances, cfg.glcm.angles)
     feats["glcm_features"] = glcm
-    feats["lbp_feature"] = lbp_feature(tex01, cfg.lbp.n_points,
-                                       float(cfg.lbp.radius))
-    ms = multi_scale_features(tex01, cfg.multiscale.scales,
-                              cfg.multiscale.entropy_max_scale,
-                              include_entropy=include_entropy)
+    feats["lbp_feature"] = _lbp_jit(tex01, n_points=cfg.lbp.n_points,
+                                    radius=float(cfg.lbp.radius))
+    ms = _multiscale_jit(tex01, scales=cfg.multiscale.scales,
+                         entropy_max_scale=cfg.multiscale.entropy_max_scale,
+                         include_entropy=include_entropy)
     feats["multi_scale_features"] = ms
-    morph = morphological_features(tex01, cfg.morphology.kernel_sizes)
+    morph = _morph_jit(tex01, kernel_sizes=cfg.morphology.kernel_sizes)
     feats["morphological_features"] = morph
-    filt = filter_responses(tex01)
+    filt = _filters_jit(tex01)
     feats["filter_features"] = filt
     if cfg.include_gabor:
         feats["gabor_features"] = gabor_responses((tex01 * 255).astype(jnp.uint8))
 
-    level_1 = jnp.stack([feats["ndwi"], feats["mndwi"], feats["ndvi"],
-                         feats["evi"], feats["ndbi"], feats["bsi"],
-                         pca_imgs[0]], axis=-1)
-    level_2 = jnp.stack([glcm["contrast"], glcm["homogeneity"],
-                         morph["gradient_5"], ms["std_dev_scale_5"],
-                         filt["sobel_mag"]], axis=-1)
-    level_1_ctx = add_spatial_context(level_1, cfg.context.window_size)
-    hierarchical = {
-        "level_1": level_1_ctx,
-        "level_2": level_2,
-        "all": jnp.concatenate([level_1_ctx, level_2], axis=-1),
-    }
+    hierarchical = _assemble_jit(
+        feats["ndwi"], feats["mndwi"], feats["ndvi"], feats["evi"],
+        feats["ndbi"], feats["bsi"], pca_imgs[0],
+        glcm["contrast"], glcm["homogeneity"], morph["gradient_5"],
+        ms["std_dev_scale_5"], filt["sobel_mag"],
+        window_size=cfg.context.window_size)
     return feats, hierarchical
 
 
