@@ -258,6 +258,10 @@ GEMM_MAX_LEAVES = 16384
 
 
 def _gemm_for(forest: FlatForest, n_features: int) -> Optional[GemmForest]:
+    if isinstance(forest.feature, jax.core.Tracer):
+        # called under an outer trace: the host-side GEMM compilation can't
+        # read values; fall back to the pure-device traversal
+        return None
     key = (id(forest.feature), n_features)
     if key in _GEMM_CACHE:
         return _GEMM_CACHE[key]
