@@ -42,8 +42,10 @@ def main() -> None:
 
     from rs_image_segmentation_tpu.core.config import CalibrationConfig
     from rs_image_segmentation_tpu.io.tiff import read_tiff
-    from rs_image_segmentation_tpu.models.forest import forest_predict
-    from rs_image_segmentation_tpu.pipeline.features import extract_features
+    from rs_image_segmentation_tpu.models.forest import (
+        _gemm_chunk, _gemm_for, gemm_forest_predict)
+    from rs_image_segmentation_tpu.pipeline.features import (
+        hierarchical_stack_fused)
     from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
     from rs_image_segmentation_tpu.tools.supervised import (
         train_random_forest_from_samples)
@@ -59,20 +61,22 @@ def main() -> None:
     biases = jnp.asarray(cal.biases, jnp.float32)
 
     def features_for(bands_np):
-        pre = preprocess_bands(jnp.asarray(bands_np), gains, biases)
-        _, hier = extract_features(pre.astype(jnp.float32))
-        return hier["all"]
+        pre = preprocess_bands(jax.device_put(bands_np), gains, biases)
+        return hierarchical_stack_fused(pre.astype(jnp.float32))
 
     # train once (host-side fit on the 33 bundled samples)
     stack0 = np.asarray(features_for(arr))
     coords, labels = SampleSet.load(SAMPLES)
     x_train = np.nan_to_num(stack0[coords[:, 1], coords[:, 0], :])
     forest, depth = train_random_forest_from_samples(x_train, labels)
+    gf = _gemm_for(forest, stack0.shape[-1])
+    chunk = _gemm_chunk(gf.path.shape[1])
 
     def classify(bands_np):
+        # full e2e incl. host->device transfer: 3 dispatches total
         stack = features_for(bands_np)
-        flat = stack.reshape(-1, stack.shape[-1])
-        pred = forest_predict(forest, flat, depth)
+        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
+                                   chunk)
         return pred.reshape(h, w)
 
     # warmup/compile

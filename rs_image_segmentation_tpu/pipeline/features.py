@@ -179,6 +179,43 @@ def hierarchical_stack(bands: jnp.ndarray,
     return hier["all"]
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "include_entropy"))
+def hierarchical_stack_fused(bands: jnp.ndarray,
+                             cfg: FeatureStageConfig = FeatureStageConfig(),
+                             include_entropy: bool = True) -> jnp.ndarray:
+    """Single-program variant of :func:`hierarchical_stack`.
+
+    One XLA program = one dispatch, which matters when per-dispatch latency
+    is high (remote-attached TPU). Compiles slower than the per-family jits
+    (one big program) but the persistent compilation cache amortizes that to
+    a single cold run. Only the ops feeding the 19-channel stack are traced,
+    so the program is much smaller than full ``extract_features``.
+    """
+    bands = bands.astype(jnp.float32)
+    bands = jax.vmap(lambda b: robust_normalize(
+        b, cfg.normalize.lower_percentile, cfg.normalize.upper_percentile,
+        cfg.normalize.epsilon))(bands)
+    idx = spectral_indices(bands)
+    pca_imgs, _ = pca_bands(bands, use_robust_scaling=True)
+    tex01 = robust_normalize(bands[cfg.texture_band_index])
+    glcm = glcm_feature_maps(tex01, cfg.glcm.levels, cfg.glcm.window_size,
+                             cfg.glcm.step_size, cfg.glcm.distances,
+                             cfg.glcm.angles)
+    u8 = (tex01 * 255.0).astype(jnp.uint8)
+    grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
+    mean5 = box_filter(tex01, 5)
+    var5 = jnp.maximum(box_filter(tex01 * tex01, 5) - mean5 * mean5, 0.0)
+    std5 = jnp.sqrt(var5)
+    smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0
+    smag = smag / (jnp.max(smag) + 1e-10)
+    level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"], idx["evi"],
+                         idx["ndbi"], idx["bsi"], pca_imgs[0]], axis=-1)
+    level_2 = jnp.stack([glcm["contrast"], glcm["homogeneity"], grad5,
+                         std5, smag], axis=-1)
+    level_1_ctx = add_spatial_context(level_1, cfg.context.window_size)
+    return jnp.concatenate([level_1_ctx, level_2], axis=-1)
+
+
 def run_feature_extraction_stage(
     input_path: str,
     output_dir: str,

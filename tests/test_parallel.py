@@ -93,3 +93,16 @@ def test_sharded_feature_stack_small(mesh, rng):
     assert out.shape == (8, 48, 48, 19)
     ref = hierarchical_stack(scenes[3], cfg)
     assert np.abs(np.asarray(ref) - np.asarray(out[3])).max() < 1e-4
+
+
+def test_fused_stack_equals_composed(rng):
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.pipeline.features import (
+        hierarchical_stack, hierarchical_stack_fused)
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8))
+    b = jnp.asarray(rng.integers(0, 255, (7, 48, 48)).astype(np.float32))
+    a = np.asarray(hierarchical_stack(b, cfg))
+    c = np.asarray(hierarchical_stack_fused(b, cfg))
+    assert np.abs(a - c).max() < 1e-6
