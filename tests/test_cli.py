@@ -1,0 +1,61 @@
+"""CLI stage entry points on a tiny synthetic scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    from rs_image_segmentation_tpu.core.types import GeoMeta
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (7, 64, 64)).astype(np.uint8)
+    p = str(d / "scene.tif")
+    write_tiff(p, arr, GeoMeta(transform=(30.0, 0.0, 5e5, 0.0, -30.0, 4e6),
+                               crs="EPSG:32630"))
+    return d, p
+
+
+def test_stage1_cli(tiny_scene):
+    from rs_image_segmentation_tpu.cli.stages import stage1
+    d, p = tiny_scene
+    out = str(d / "pre.tif")
+    stage1(["--input", p, "--output", out, "--vis-dir", str(d)])
+    assert os.path.exists(out)
+
+
+def test_stage2_stage3_stage4_cli(tiny_scene, monkeypatch):
+    from rs_image_segmentation_tpu.cli.stages import stage2, stage3, stage4
+    d, p = tiny_scene
+    pre = str(d / "pre.tif")
+    if not os.path.exists(pre):
+        from rs_image_segmentation_tpu.cli.stages import stage1
+        stage1(["--input", p, "--output", pre, "--vis-dir", str(d)])
+    feat_dir = str(d / "features")
+    # GLCM default window 21 > 64 is fine (3x3 grid); keep defaults
+    stage2(["--input", pre, "--output-dir", feat_dir, "--no-vis"])
+    pkl = os.path.join(feat_dir, "all_features_and_metadata.pkl")
+    assert os.path.exists(pkl)
+
+    seg_dir = str(d / "seg")
+    stage3(["--features", pkl, "--method", "rule_based",
+            "--output-dir", seg_dir])
+    assert os.path.exists(os.path.join(seg_dir,
+                                       "rule_based_classification_map.tif"))
+
+    # build a small ROI over the classification for stage 4
+    from rs_image_segmentation_tpu.io.tiff import read_tiff
+    cls, _ = read_tiff(os.path.join(seg_dir,
+                                    "rule_based_classification_map.tif"))
+    roi = np.zeros((64, 64), np.int16)
+    roi[::7, ::7] = (cls[0][::7, ::7] % 3 + 1).astype(np.int16)
+    roi_path = str(d / "roi.npy")
+    np.save(roi_path, roi)
+    eval_dir = str(d / "eval")
+    stage4(["--classification",
+            os.path.join(seg_dir, "rule_based_classification_map.tif"),
+            "--roi", roi_path, "--output-dir", eval_dir])
+    assert os.path.exists(os.path.join(eval_dir, "evaluation_report.txt"))
