@@ -220,6 +220,25 @@ def _predict_horizontal(arr: np.ndarray) -> np.ndarray:
     return out
 
 
+def _unpredict_float(raw: bytes, rows: int, cols: int, samples: int,
+                     itemsize: int, byteorder: str) -> np.ndarray:
+    """TIFF predictor 3 (floating-point): per row, bytes are differenced then
+    split by byte plane (all MSBs first). Undo both."""
+    row_bytes = cols * samples * itemsize
+    data = np.frombuffer(raw, dtype=np.uint8).copy().reshape(rows, row_bytes)
+    np.cumsum(data, axis=1, dtype=np.uint8, out=data)
+    # de-interleave byte planes: plane p holds byte p (big-endian order)
+    planes = data.reshape(rows, itemsize, cols * samples)
+    out = np.empty((rows, cols * samples, itemsize), dtype=np.uint8)
+    for p in range(itemsize):
+        out[:, :, p] = planes[:, p, :]
+    flat = out.reshape(rows, cols, samples, itemsize)
+    # bytes are stored MSB-first regardless of file byte order
+    dt = np.dtype({1: None, 2: np.float16, 4: np.float32, 8: np.float64}[itemsize])
+    return flat.view(np.uint8).reshape(-1, itemsize)[:, ::-1].copy().view(
+        dt.newbyteorder("<")).reshape(rows, cols, samples).astype(dt)
+
+
 # --- reading -----------------------------------------------------------------
 
 @dataclasses.dataclass
@@ -398,10 +417,15 @@ def read_tiff(path: str) -> Tuple[np.ndarray, TiffInfo]:
                 raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                 expected = tile_w * tile_h * samples_per_px * itemsize
                 buf = _decompress(raw, comp, expected)
-                arr = np.frombuffer(buf[:expected], dtype=dt).reshape(
-                    tile_h, tile_w, samples_per_px).astype(dtype)
-                if predictor == 2:
-                    arr = _unpredict_horizontal(arr.copy())
+                if predictor == 3:
+                    arr = _unpredict_float(buf[:expected], tile_h, tile_w,
+                                           samples_per_px, itemsize,
+                                           r.e).astype(dtype)
+                else:
+                    arr = np.frombuffer(buf[:expected], dtype=dt).reshape(
+                        tile_h, tile_w, samples_per_px).astype(dtype)
+                    if predictor == 2:
+                        arr = _unpredict_horizontal(arr.copy())
                 ty, tx = divmod(t, tiles_x)
                 y0, x0 = ty * tile_h, tx * tile_w
                 h = min(tile_h, height - y0)
@@ -425,10 +449,15 @@ def read_tiff(path: str) -> Tuple[np.ndarray, TiffInfo]:
                 raw = data[offsets[idx]:offsets[idx] + counts[idx]]
                 expected = h * width * samples_per_px * itemsize
                 buf = _decompress(raw, comp, expected)
-                arr = np.frombuffer(buf[:expected], dtype=dt).reshape(
-                    h, width, samples_per_px).astype(dtype)
-                if predictor == 2:
-                    arr = _unpredict_horizontal(arr.copy())
+                if predictor == 3:
+                    arr = _unpredict_float(buf[:expected], h, width,
+                                           samples_per_px, itemsize,
+                                           r.e).astype(dtype)
+                else:
+                    arr = np.frombuffer(buf[:expected], dtype=dt).reshape(
+                        h, width, samples_per_px).astype(dtype)
+                    if predictor == 2:
+                        arr = _unpredict_horizontal(arr.copy())
                 if planar == 2:
                     out[p, y0:y0 + h, :] = arr[:, :, 0]
                 else:

@@ -87,3 +87,25 @@ def test_planar_band_sequential(tmp_path, rng):
     write_tiff(p, a, planar=2, compression="lzw")
     b, _ = read_tiff(p)
     assert np.array_equal(a, b)
+
+
+def test_predictor3_float_decode():
+    """TIFF floating-point predictor (3): MSB-first byte-plane split + row
+    differencing — GDAL's default for compressed float rasters."""
+    import numpy as np
+    from rs_image_segmentation_tpu.io.tiff import _unpredict_float
+    rng = np.random.default_rng(0)
+    rows, cols, samples, itemsize = 4, 13, 2, 4
+    data = rng.standard_normal((rows, cols, samples)).astype(np.float32)
+    enc = np.empty((rows, cols * samples * itemsize), np.uint8)
+    for r in range(rows):
+        be = data[r].reshape(-1).astype(">f4").view(np.uint8).reshape(-1, itemsize)
+        planes = np.empty((itemsize, cols * samples), np.uint8)
+        for p in range(itemsize):
+            planes[p] = be[:, p]
+        flat = planes.reshape(-1)
+        diff = flat.copy()
+        diff[1:] = flat[1:] - flat[:-1]
+        enc[r] = diff
+    back = _unpredict_float(enc.tobytes(), rows, cols, samples, itemsize, "<")
+    assert np.array_equal(back.astype(np.float32), data)

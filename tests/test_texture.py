@@ -124,3 +124,14 @@ def test_warp_affine_shift_scale(rng):
     err = np.abs(ref - ours)
     assert np.median(err) < 1e-6
     assert (err < 1e-4).mean() > 0.98
+
+
+def test_glcm_overlapping_windows(rng):
+    """step_size != window_size exercises the gather-based window extraction."""
+    band = jnp.asarray(rng.random((40, 40)).astype(np.float32))
+    maps = TX.glcm_feature_maps(band, levels=8, window_size=16, step_size=8)
+    assert maps["contrast"].shape == (40, 40)
+    w16 = TX._extract_windows(jnp.arange(1600).reshape(40, 40), 16, 8)
+    assert w16.shape == (16, 16, 16)
+    assert int(w16[1, 0, 0]) == 8  # second window starts at col 8
+    assert int(w16[4, 0, 0]) == 8 * 40  # second row of windows starts at row 8
