@@ -289,6 +289,28 @@ def save_classification_as_geotiff(result: np.ndarray, meta: GeoMeta,
                tile_size=256)
 
 
+def run_three_class_evaluation_output(features_meta: Optional[Dict] = None,
+                                      output_dir: str = "output",
+                                      method: str = "rule_based",
+                                      classification_map: Optional[np.ndarray] = None,
+                                      shape=(256, 256)) -> np.ndarray:
+    """Demo/smoke workflow (reference 3_classification.py:176-237): produce a
+    three-class evaluation GeoTIFF from a given (or random placeholder)
+    classification map."""
+    from rs_image_segmentation_tpu.tools.fixtures import (
+        make_random_classification_map, synthetic_geometa)
+    if classification_map is None:
+        classification_map = make_random_classification_map(shape)
+    if features_meta is not None:
+        meta = GeoMeta(transform=features_meta.get("transform"),
+                       crs=features_meta.get("crs"))
+    else:
+        meta = synthetic_geometa(classification_map.shape)
+    out = os.path.join(output_dir, f"{method}_three_class_evaluation.tif")
+    return save_three_class_evaluation_tif(classification_map, meta, out,
+                                           method)
+
+
 # --------------------------------------------------------------- orchestration
 
 def run_classification_stage(feature_file_path: str, method: str = "rule_based",
