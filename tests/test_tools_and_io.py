@@ -216,3 +216,20 @@ def test_semantic_merge_water():
     seg = jnp.asarray(np.array([[1, 2], [3, 2]]))
     out = np.asarray(semantic_merge_water_classes(seg))
     assert out.tolist() == [[1, 1], [3, 1]]
+
+
+# --- guards ---------------------------------------------------------------------
+
+def test_checked_raises_on_nan():
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.utils.guards import checked, sanitize
+
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        checked(bad)(jnp.asarray([-1.0]))
+    ok = checked(lambda v: v * 2)(jnp.asarray([1.0]))
+    assert float(ok[0]) == 2.0
+    assert float(sanitize(jnp.asarray([float("nan")]))[0]) == 0.0
