@@ -1,0 +1,361 @@
+"""Memory-bounded large-scene classification with GLOBAL semantics.
+
+The monolithic stage graphs hold the whole scene in HBM. This pipeline
+streams row-tile blocks through the device while keeping every global
+statistic exact, so a scene of any size classifies (near-)identically to the
+monolithic path. It consumes the STAGE-1 OUTPUT — the preprocessed scene
+whose values are stretched uint8 levels (the reference's artifact contract,
+preprocessing.py:101-155) — which makes all global percentiles exact
+functions of integer-valued 256-bin histograms:
+
+  pass A (host)   : per-band histograms -> robust-normalize p2/p98,
+                    RobustScaler median/IQR, texture re-normalize bounds
+                    (the whole chain is monotone per band).
+  pass B (device) : per-tile accumulation of RobustScaler'd band sums and the
+                    Gram matrix -> global PCA via float64 host eigh (sklearn
+                    svd_flip signs).
+  pass C (device) : per-tile GLCM window-grid props (tile heights aligned to
+                    the 21-px window grid so windows never straddle a tile)
+                    plus the global Sobel-magnitude max.
+  pass D (device) : per-tile 19-channel stack assembly — elementwise indices,
+                    PC1 projection, halo'd stencils (morph gradient, windowed
+                    std, Sobel, 7x7 context), rows of the globally-resized
+                    GLCM maps — and GEMM forest prediction written straight
+                    into the output label map.
+
+Preprocessing a huge raw scene tiles trivially too (`preprocess_large`):
+the stretch only needs the global per-band DN min/max.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                   FeatureStageConfig)
+from rs_image_segmentation_tpu.models.forest import (GemmForest, _gemm_chunk,
+                                                     gemm_forest_predict)
+from rs_image_segmentation_tpu.ops.indices import spectral_indices
+from rs_image_segmentation_tpu.ops.morphology import gradient
+from rs_image_segmentation_tpu.ops.stencil import box_filter, sobel_magnitude
+from rs_image_segmentation_tpu.ops.texture import glcm_matrices, glcm_properties
+
+
+# -------------------------------------------------- histogram percentiles
+
+def band_histograms_u8(arr: np.ndarray) -> np.ndarray:
+    """(C, H, W) uint8-valued array -> (C, 256) int64 counts (host)."""
+    c = arr.shape[0]
+    return np.stack([np.bincount(arr[i].reshape(-1).astype(np.uint8),
+                                 minlength=256) for i in range(c)])
+
+
+def percentile_from_hist(hist: np.ndarray, values: np.ndarray, q: float
+                         ) -> float:
+    """np.percentile(method='linear') over a value-multiset given counts.
+
+    ``values`` are the sorted distinct values corresponding to hist bins.
+    """
+    n = int(hist.sum())
+    pos = q / 100.0 * (n - 1)
+    lo = int(np.floor(pos))
+    hi = int(np.ceil(pos))
+    cum = np.cumsum(hist)
+    v_lo = values[np.searchsorted(cum, lo + 1)]
+    v_hi = values[np.searchsorted(cum, hi + 1)]
+    frac = pos - lo
+    return float(v_lo * (1 - frac) + v_hi * frac)
+
+
+class GlobalStats:
+    """Per-band global statistics driving the tile kernels."""
+
+    def __init__(self, c: int):
+        self.p_lo = np.zeros(c, np.float32)
+        self.p_hi = np.zeros(c, np.float32)
+        self.median = np.zeros(c, np.float32)
+        self.iqr = np.zeros(c, np.float32)
+        self.tex_lo = None
+        self.tex_hi = None
+        self.pca_mean = None       # (C,) mean of RobustScaler'd bands
+        self.pca_comp1 = None      # (C,) first principal axis
+        self.sobel_max = None
+
+
+def compute_global_stats(arr: np.ndarray,
+                         cfg: FeatureStageConfig) -> GlobalStats:
+    """Pass A over a preprocessed (uint8-valued) scene."""
+    hists = band_histograms_u8(arr)
+    c = hists.shape[0]
+    stats = GlobalStats(c)
+    lo_q = cfg.normalize.lower_percentile
+    hi_q = cfg.normalize.upper_percentile
+    eps = cfg.normalize.epsilon
+    levels = np.arange(256, dtype=np.float64)
+    tb = cfg.texture_band_index
+    for i in range(c):
+        p_lo = percentile_from_hist(hists[i], levels, lo_q)
+        p_hi = percentile_from_hist(hists[i], levels, hi_q)
+        stats.p_lo[i] = np.float32(p_lo)
+        stats.p_hi[i] = np.float32(p_hi)
+        # normalized value per level with the tile kernel's f32 arithmetic
+        lv = jnp.arange(256, dtype=jnp.float32)
+        norm = (jnp.clip(lv, stats.p_lo[i], stats.p_hi[i]) - stats.p_lo[i]) \
+            / np.float32(np.float32(stats.p_hi[i]) - np.float32(stats.p_lo[i])
+                         + np.float32(eps))
+        norm_np = np.asarray(norm, np.float64)
+        stats.median[i] = np.float32(
+            percentile_from_hist(hists[i], norm_np, 50.0))
+        q1 = percentile_from_hist(hists[i], norm_np, 25.0)
+        q3 = percentile_from_hist(hists[i], norm_np, 75.0)
+        stats.iqr[i] = np.float32((q3 - q1) if (q3 - q1) > 0 else 1.0)
+        if i == tb:
+            stats.tex_lo = np.float32(
+                percentile_from_hist(hists[i], norm_np, lo_q))
+            stats.tex_hi = np.float32(
+                percentile_from_hist(hists[i], norm_np, hi_q))
+    return stats
+
+
+# -------------------------------------------------- tiled preprocessing
+
+def preprocess_large(arr: np.ndarray,
+                     cal: CalibrationConfig = CalibrationConfig(),
+                     tile_rows: int = 2048) -> np.ndarray:
+    """Stage 1 for scenes of any size: calibrate + global min/max stretch,
+    tile-wise (the stretch needs only the global DN extrema per band)."""
+    hists = band_histograms_u8(arr)
+    c, h, w = arr.shape
+    gains = jnp.asarray(cal.gains, jnp.float32)
+    biases = jnp.asarray(cal.biases, jnp.float32)
+    mins = np.zeros(c, np.float32)
+    maxs = np.zeros(c, np.float32)
+    for i in range(c):
+        nz = np.nonzero(hists[i])[0]
+        # calibrated extrema (gains > 0 -> monotone)
+        mins[i] = np.float32(cal.gains[i]) * np.float32(nz[0]) + np.float32(cal.biases[i])
+        maxs[i] = np.float32(cal.gains[i]) * np.float32(nz[-1]) + np.float32(cal.biases[i])
+
+    @jax.jit
+    def tile_fn(t, mn, mx):
+        calv = t.astype(jnp.float32) * gains[:, None, None] + biases[:, None, None]
+        stretched = (calv - mn[:, None, None]) * 255.0 / (mx - mn)[:, None, None]
+        return stretched.astype(jnp.uint8)
+
+    out = np.zeros((c, h, w), np.uint8)
+    for y0 in range(0, h, tile_rows):
+        tile = np.ascontiguousarray(arr[:, y0:y0 + tile_rows, :])
+        out[:, y0:y0 + tile.shape[1], :] = np.asarray(
+            tile_fn(jnp.asarray(tile), jnp.asarray(mins), jnp.asarray(maxs)))
+    return out
+
+
+# -------------------------------------------------- per-tile device kernels
+
+def _normalize_tile(tile: jnp.ndarray, p_lo, p_hi,
+                    eps: float = 1e-10) -> jnp.ndarray:
+    """Stretched-u8 tile -> globally robust-normalized [0,1] bands."""
+    x = tile.astype(jnp.float32)
+    lo = p_lo[:, None, None]
+    hi = p_hi[:, None, None]
+    return (jnp.clip(x, lo, hi) - lo) / (hi - lo + eps)
+
+
+@jax.jit
+def _pca_accumulate(tile, p_lo, p_hi, median, iqr):
+    """Per-tile sums for global PCA over RobustScaler'd bands."""
+    norm = _normalize_tile(tile, p_lo, p_hi)
+    xs = (norm - median[:, None, None]) / iqr[:, None, None]
+    c = xs.shape[0]
+    flat = xs.reshape(c, -1)
+    s1 = jnp.sum(flat, axis=1)
+    s2 = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    return s1, s2
+
+
+def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
+                    tile_rows: int) -> None:
+    c, h, w = arr.shape
+    s1 = np.zeros(c, np.float64)
+    s2 = np.zeros((c, c), np.float64)
+    n = 0
+    p_lo = jnp.asarray(stats.p_lo)
+    p_hi = jnp.asarray(stats.p_hi)
+    med = jnp.asarray(stats.median)
+    iqr = jnp.asarray(stats.iqr)
+    for y0 in range(0, h, tile_rows):
+        tile = np.ascontiguousarray(arr[:, y0:y0 + tile_rows, :])
+        t1, t2 = _pca_accumulate(jnp.asarray(tile), p_lo, p_hi, med, iqr)
+        s1 += np.asarray(t1, np.float64)
+        s2 += np.asarray(t2, np.float64)
+        n += tile.shape[1] * w
+    mean = s1 / n
+    cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comp1 = eigvecs[:, np.argsort(-eigvals)[0]]
+    if comp1[np.argmax(np.abs(comp1))] < 0:  # svd_flip sign convention
+        comp1 = -comp1
+    stats.pca_mean = mean.astype(np.float32)
+    stats.pca_comp1 = comp1.astype(np.float32)
+
+
+# -------------------------------------------------- GLCM global grid
+
+@functools.partial(jax.jit, static_argnames=("levels", "window", "step",
+                                             "angles"))
+def _tile_glcm_grid(tex01_tile, levels: int, window: int, step: int,
+                    angles) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    from rs_image_segmentation_tpu.ops.texture import _extract_windows
+    q = (tex01_tile * (levels - 1)).astype(jnp.uint8).astype(jnp.int32)
+    windows = _extract_windows(q, window, step)
+    glcm = glcm_matrices(windows, levels, (1,), angles)
+    props = glcm_properties(glcm)
+    n_i = (tex01_tile.shape[0] - window) // step + 1
+    n_j = (tex01_tile.shape[1] - window) // step + 1
+    return (jnp.mean(props["contrast"], axis=(1, 2)).reshape(n_i, n_j),
+            jnp.mean(props["homogeneity"], axis=(1, 2)).reshape(n_i, n_j))
+
+
+def _resize_rows(grid: jnp.ndarray, out_hw: Tuple[int, int],
+                 row0, rows: int) -> jnp.ndarray:
+    """Rows [row0, row0+rows) of resize_bilinear(grid, out_hw) without
+    materializing the full map (row0 may be traced)."""
+    h, w = grid.shape
+    oh, ow = out_hw
+    sy, sx = h / oh, w / ow
+    ry = (jnp.arange(rows, dtype=jnp.float32) + row0 + 0.5) * sy - 0.5
+    rx = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * sx - 0.5
+    y0 = jnp.clip(jnp.floor(ry), 0, h - 1).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(rx), 0, w - 1).astype(jnp.int32)
+    fy = jnp.clip(ry - y0, 0, 1)[:, None]
+    fx = jnp.clip(rx - x0, 0, 1)[None, :]
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    a = grid[y0][:, x0]
+    b = grid[y0][:, x1]
+    c = grid[y1][:, x0]
+    d = grid[y1][:, x1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
+# -------------------------------------------------- the driver
+
+HALO = 8  # >= max stencil reach in the stack path (7x7 context -> 3,
+#            grad5/std5 -> 2, sobel -> 1; 8 rounds up for alignment)
+
+
+def classify_large_scene(arr: np.ndarray, gf: GemmForest,
+                         cfg: FeatureStageConfig = FeatureStageConfig(),
+                         tile_rows: int = 504) -> np.ndarray:
+    """Classify a PREPROCESSED (7, H, W) uint8-valued scene of any size in
+    row tiles. ``tile_rows`` must be a multiple of the GLCM step so texture
+    windows align with the global window grid."""
+    step = cfg.glcm.step_size
+    if tile_rows % step:
+        raise ValueError(f"tile_rows must be a multiple of {step}")
+    c, h, w = arr.shape
+
+    stats = compute_global_stats(arr, cfg)          # pass A
+    _fit_global_pca(arr, stats, tile_rows)          # pass B
+
+    # pass C: global GLCM grid + sobel max
+    n_i = (h - cfg.glcm.window_size) // step + 1
+    n_j = (w - cfg.glcm.window_size) // step + 1
+    contrast_grid = np.zeros((n_i, n_j), np.float32)
+    homog_grid = np.zeros((n_i, n_j), np.float32)
+    p_lo = jnp.asarray(stats.p_lo)
+    p_hi = jnp.asarray(stats.p_hi)
+    tex_lo = np.float32(stats.tex_lo)
+    tex_hi = np.float32(stats.tex_hi)
+    tb = cfg.texture_band_index
+
+    @jax.jit
+    def tex_tile(tile):
+        nir = _normalize_tile(tile, p_lo, p_hi)[tb]
+        return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
+
+    for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
+        rows = min(tile_rows, h - y0)
+        grid_rows = (rows - cfg.glcm.window_size) // step + 1
+        if grid_rows <= 0:
+            continue
+        tile = jnp.asarray(np.ascontiguousarray(arr[:, y0:y0 + rows, :]))
+        con, hom = _tile_glcm_grid(tex_tile(tile), cfg.glcm.levels,
+                                   cfg.glcm.window_size, step,
+                                   cfg.glcm.angles)
+        gi = y0 // step
+        contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
+        homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
+
+    @jax.jit
+    def tile_sobel_max(tile):
+        u8 = (tex_tile(tile) * 255.0).astype(jnp.uint8)
+        return jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
+
+    sobel_max = 0.0
+    for y0 in range(0, h, tile_rows):
+        ys = max(0, y0 - 1)
+        ye = min(h, y0 + tile_rows + 1)
+        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
+        sobel_max = max(sobel_max, float(tile_sobel_max(tile)))
+    stats.sobel_max = sobel_max
+
+    # pass D: stack + predict per tile
+    out = np.zeros((h, w), np.int32)
+    con_g = jnp.asarray(contrast_grid)
+    hom_g = jnp.asarray(homog_grid)
+    comp1 = jnp.asarray(stats.pca_comp1)
+    mean = jnp.asarray(stats.pca_mean)
+    med = jnp.asarray(stats.median)
+    iqr = jnp.asarray(stats.iqr)
+    smax = jnp.asarray(sobel_max + 1e-10, jnp.float32)
+    chunk = _gemm_chunk(gf.path.shape[1])
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def classify_tile(tile, row0, lo, rows: int):
+        # row0 / lo are traced scalars so middle tiles share one executable
+        bands01 = _normalize_tile(tile, p_lo, p_hi)
+        idx = spectral_indices(bands01)
+        xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
+        pc1 = jnp.einsum("chw,c->hw", xs - mean[:, None, None], comp1,
+                         precision=jax.lax.Precision.HIGHEST)
+        nir = bands01[tb]
+        tex = (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
+        u8 = (tex * 255.0).astype(jnp.uint8)
+        grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
+        mean5 = box_filter(tex, 5)
+        std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
+        smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / smax
+        level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
+                             idx["evi"], idx["ndbi"], idx["bsi"], pc1],
+                            axis=-1)
+        ctx = jnp.moveaxis(box_filter(jnp.moveaxis(level_1, -1, 0), 7,
+                                      border="reflect"), 0, -1)
+        glcm_con = _resize_rows(con_g, (h, w), row0, rows)
+        glcm_hom = _resize_rows(hom_g, (h, w), row0, rows)
+
+        def crop(x):
+            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=0)
+
+        stack = jnp.concatenate([
+            crop(level_1), crop(ctx),
+            jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
+                       crop(smag)], axis=-1)], axis=-1)
+        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
+                                   chunk)
+        return pred.reshape(rows, w)
+
+    for y0 in range(0, h, tile_rows):
+        rows = min(tile_rows, h - y0)
+        ys = max(0, y0 - HALO)
+        ye = min(h, y0 + rows + HALO)
+        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
+        out[y0:y0 + rows] = np.asarray(
+            classify_tile(tile, y0, y0 - ys, rows))
+    return out

@@ -1,0 +1,76 @@
+"""Tiled large-scene pipeline vs the monolithic path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                   FeatureStageConfig)
+from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                     fit_random_forest,
+                                                     gemm_forest_predict)
+from rs_image_segmentation_tpu.pipeline.features import hierarchical_stack_fused
+from rs_image_segmentation_tpu.pipeline.large_scene import (
+    classify_large_scene, compute_global_stats, percentile_from_hist,
+    preprocess_large)
+from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
+
+
+def test_percentile_from_hist_matches_numpy(rng):
+    vals = rng.integers(0, 256, 5000).astype(np.uint8)
+    hist = np.bincount(vals, minlength=256)
+    for q in [2.0, 25.0, 50.0, 75.0, 98.0]:
+        ref = np.percentile(vals.astype(np.float64), q)
+        got = percentile_from_hist(hist, np.arange(256, dtype=np.float64), q)
+        assert abs(ref - got) < 1e-9, q
+
+
+def test_preprocess_large_matches_monolithic(rng):
+    arr = rng.integers(0, 256, (7, 90, 70)).astype(np.uint8)
+    cal = CalibrationConfig()
+    ref = np.asarray(preprocess_bands(jnp.asarray(arr),
+                                      jnp.asarray(cal.gains, jnp.float32),
+                                      jnp.asarray(cal.biases, jnp.float32)))
+    got = preprocess_large(arr, cal, tile_rows=32)
+    # identical arithmetic per tile; allow 1 LSB for fused-op differences
+    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+
+
+def test_global_stats_match_monolithic(rng, aa_scene):
+    import jax
+    from rs_image_segmentation_tpu.ops.normalize import robust_normalize
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
+        jnp.asarray(cal.biases, jnp.float32)))
+    stats = compute_global_stats(pre, cfg)
+    for i in range(7):
+        band = pre[i].astype(np.float64)
+        assert abs(np.percentile(band, 2) - stats.p_lo[i]) < 1e-4, i
+        assert abs(np.percentile(band, 98) - stats.p_hi[i]) < 1e-4, i
+
+
+def test_large_scene_matches_monolithic(rng, aa_scene):
+    arr, info = aa_scene  # (7, 600, 600) uint8
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
+        jnp.asarray(cal.biases, jnp.float32)))
+    # crop to keep the CPU test fast but multi-tile: 252 rows = 12 * 21
+    pre = np.ascontiguousarray(pre[:, :252, :252])
+
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    x = stack[sel[:, 0], sel[:, 1], :]
+    y = rng.integers(1, 4, 60)
+    forest, depth = fit_random_forest(x, y, n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    ref_pred = np.asarray(gemm_forest_predict(
+        gf, jnp.asarray(stack.reshape(-1, 19)), 8192)).reshape(252, 252)
+
+    tiled_pred = classify_large_scene(pre, gf, cfg, tile_rows=63)
+    agreement = (ref_pred == tiled_pred).mean()
+    assert agreement > 0.995, agreement
