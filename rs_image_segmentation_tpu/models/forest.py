@@ -122,13 +122,17 @@ def forest_to_gemm(forest: FlatForest, n_features: int) -> GemmForest:
         for col, sign in trail:
             path[col, li] = sign
     leaf_dist = np.stack(leaf_dists).astype(np.float32)
-    return GemmForest(jnp.asarray(selector, jnp.bfloat16),
-                      jnp.asarray(thresholds),
-                      jnp.asarray(path, jnp.bfloat16),
-                      jnp.asarray(path_len),
-                      jnp.asarray(leaf_dist),
-                      jnp.asarray(1.0 / t_count, jnp.float32),
-                      forest.classes)
+    classes = np.asarray(forest.classes)
+    # force concrete arrays even if we were invoked under an active trace
+    # (the GemmForest is cached and reused across programs)
+    with jax.ensure_compile_time_eval():
+        return GemmForest(jnp.asarray(selector, jnp.bfloat16),
+                          jnp.asarray(thresholds),
+                          jnp.asarray(path, jnp.bfloat16),
+                          jnp.asarray(path_len),
+                          jnp.asarray(leaf_dist),
+                          jnp.asarray(1.0 / t_count, jnp.float32),
+                          jnp.asarray(classes))
 
 
 def _gemm_block_proba(gf: GemmForest, xb: jnp.ndarray) -> jnp.ndarray:

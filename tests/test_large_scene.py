@@ -74,3 +74,33 @@ def test_large_scene_matches_monolithic(rng, aa_scene):
     tiled_pred = classify_large_scene(pre, gf, cfg, tile_rows=63)
     agreement = (ref_pred == tiled_pred).mean()
     assert agreement > 0.995, agreement
+
+
+def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
+    """8-way row sharding with halo exchange == monolithic classification."""
+    from rs_image_segmentation_tpu.parallel.mesh import make_mesh
+    from rs_image_segmentation_tpu.parallel.spatial import (
+        sharded_classify_scene)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
+        jnp.asarray(cal.biases, jnp.float32)))
+    # 8 shards x 63 rows = 504 rows (63 = 3 * 21)
+    pre = np.ascontiguousarray(pre[:, :504, :252])
+
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    ref = np.asarray(gemm_forest_predict(
+        gf, jnp.asarray(stack.reshape(-1, 19)), 8192)).reshape(504, 252)
+
+    mesh = make_mesh(axis_names=("tile",))
+    got = np.asarray(sharded_classify_scene(pre, gf, mesh, cfg))
+    agreement = (ref == got).mean()
+    assert agreement > 0.995, agreement
