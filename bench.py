@@ -57,11 +57,12 @@ def main() -> None:
     h, w = arr.shape[1], arr.shape[2]
     mp = h * w / 1e6
     cal = CalibrationConfig()
-    gains = jnp.asarray(cal.gains, jnp.float32)
-    biases = jnp.asarray(cal.biases, jnp.float32)
+    gains = np.asarray(cal.gains)
+    biases = np.asarray(cal.biases)
 
     def features_for(bands_np):
-        pre = preprocess_bands(jax.device_put(bands_np), gains, biases)
+        # H2D happens inside (the exact-LUT preprocess ships the scene)
+        pre = preprocess_bands(bands_np, gains, biases)
         return hierarchical_stack_fused(pre.astype(jnp.float32))
 
     # train once (host-side fit on the 33 bundled samples)

@@ -127,31 +127,29 @@ def compute_global_stats(arr: np.ndarray,
 def preprocess_large(arr: np.ndarray,
                      cal: CalibrationConfig = CalibrationConfig(),
                      tile_rows: int = 2048) -> np.ndarray:
-    """Stage 1 for scenes of any size: calibrate + global min/max stretch,
-    tile-wise (the stretch needs only the global DN extrema per band)."""
+    """Stage 1 for scenes of any size: calibrate + global min/max stretch as
+    an exact float64 per-DN lookup table (the uint8-input chain is a pure
+    function of the DN; identical to ``pipeline.preprocess.preprocess_bands``
+    and to the reference's NumPy float64 math), applied tile-wise."""
+    from rs_image_segmentation_tpu.pipeline.preprocess import _apply_lut
     hists = band_histograms_u8(arr)
     c, h, w = arr.shape
-    gains = jnp.asarray(cal.gains, jnp.float32)
-    biases = jnp.asarray(cal.biases, jnp.float32)
-    mins = np.zeros(c, np.float32)
-    maxs = np.zeros(c, np.float32)
+    g = np.asarray(cal.gains, np.float64)
+    b = np.asarray(cal.biases, np.float64)
+    dn = np.arange(256, dtype=np.float64)
+    lut = np.zeros((c, 256), np.float32)
     for i in range(c):
-        nz = np.nonzero(hists[i])[0]
-        # calibrated extrema (gains > 0 -> monotone)
-        mins[i] = np.float32(cal.gains[i]) * np.float32(nz[0]) + np.float32(cal.biases[i])
-        maxs[i] = np.float32(cal.gains[i]) * np.float32(nz[-1]) + np.float32(cal.biases[i])
-
-    @jax.jit
-    def tile_fn(t, mn, mx):
-        calv = t.astype(jnp.float32) * gains[:, None, None] + biases[:, None, None]
-        stretched = (calv - mn[:, None, None]) * 255.0 / (mx - mn)[:, None, None]
-        return stretched.astype(jnp.uint8)
-
+        calv = g[i] * dn + b[i]
+        present = hists[i] > 0
+        mn = calv[present].min()
+        mx = calv[present].max()
+        lut[i] = ((calv - mn) * 255.0 / (mx - mn)).astype(np.uint8)
+    lut_dev = jnp.asarray(lut)
     out = np.zeros((c, h, w), np.uint8)
     for y0 in range(0, h, tile_rows):
         tile = np.ascontiguousarray(arr[:, y0:y0 + tile_rows, :])
         out[:, y0:y0 + tile.shape[1], :] = np.asarray(
-            tile_fn(jnp.asarray(tile), jnp.asarray(mins), jnp.asarray(maxs)))
+            _apply_lut(jnp.asarray(tile), lut_dev))
     return out
 
 

@@ -33,20 +33,61 @@ def radiometric_calibration(bands: jnp.ndarray,
     return bands.astype(jnp.float32) * g + b
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("matrix",))
-def preprocess_bands(bands: jnp.ndarray,
-                     gains: jnp.ndarray, biases: jnp.ndarray,
-                     matrix: Tuple[float, ...] = (1.0, 0.0, 0.0,
-                                                  0.0, 1.0, 0.0)) -> jnp.ndarray:
+def preprocess_bands_f32(bands: jnp.ndarray,
+                         gains: jnp.ndarray, biases: jnp.ndarray,
+                         matrix: Tuple[float, ...] = _IDENTITY) -> jnp.ndarray:
+    """Pure-device float32 preprocess (general path, works under trace and
+    with non-identity warps; truncation boundaries may differ from float64
+    by 1 LSB on ~10 % of pixels)."""
+    cal = bands.astype(jnp.float32) * gains[:, None, None] + biases[:, None, None]
+    if tuple(matrix) != _IDENTITY:
+        cal = warp_affine_bilinear(cal, np.asarray(matrix).reshape(2, 3))
+    return jax.vmap(minmax_stretch_u8)(cal)
+
+
+@jax.jit
+def _apply_lut(bands_u8: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Per-band 256-entry table lookup: out[c, y, x] = lut[c, bands[c, y, x]]."""
+    idx = bands_u8.astype(jnp.int32)
+    return jnp.take_along_axis(lut[:, :, None],
+                               idx.reshape(idx.shape[0], -1)[:, :, None],
+                               axis=1).reshape(idx.shape).astype(jnp.uint8)
+
+
+def preprocess_bands(bands, gains, biases,
+                     matrix: Tuple[float, ...] = _IDENTITY):
     """calibrate -> affine warp -> per-band min-max stretch to uint8.
 
     The uint8 output is what stage 2 consumes (the reference persists it as
     Float32 GeoTIFF holding 0..255 values, preprocessing.py:127-155).
+
+    For the identity warp on concrete uint8 input (the reference's only live
+    path, 1_preprocessing.py:52) the whole chain is a per-DN lookup table
+    computed in float64 on host — BIT-EXACT with the reference's NumPy math
+    and identical across CPU/TPU. Traced inputs or real warps fall back to
+    the float32 device path.
     """
-    cal = bands.astype(jnp.float32) * gains[:, None, None] + biases[:, None, None]
-    if tuple(matrix) != (1.0, 0.0, 0.0, 0.0, 1.0, 0.0):
-        cal = warp_affine_bilinear(cal, np.asarray(matrix).reshape(2, 3))
-    return jax.vmap(minmax_stretch_u8)(cal)
+    if (tuple(matrix) != _IDENTITY
+            or isinstance(bands, jax.core.Tracer)
+            or np.asarray(bands).dtype != np.uint8):
+        return preprocess_bands_f32(bands, gains, biases, matrix)
+    arr = np.asarray(bands)
+    g = np.asarray(gains, np.float64)
+    b = np.asarray(biases, np.float64)
+    c = arr.shape[0]
+    dn = np.arange(256, dtype=np.float64)
+    lut = np.zeros((c, 256), np.float32)
+    for i in range(c):
+        cal = g[i] * dn + b[i]
+        present = np.bincount(arr[i].reshape(-1), minlength=256) > 0
+        mn = cal[present].min()
+        mx = cal[present].max()
+        lut[i] = ((cal - mn) * 255.0 / (mx - mn)).astype(np.uint8)
+    return _apply_lut(jnp.asarray(arr), jnp.asarray(lut))
 
 
 def run_preprocessing_stage(input_path: str, output_path: str,
@@ -60,8 +101,8 @@ def run_preprocessing_stage(input_path: str, output_path: str,
     bands = jnp.asarray(arr)
     matrix = tuple(gcp_matrix) if gcp_matrix is not None else (
         1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
-    out = preprocess_bands(bands, jnp.asarray(config.gains, jnp.float32),
-                           jnp.asarray(config.biases, jnp.float32),
+    out = preprocess_bands(bands, np.asarray(config.gains),
+                           np.asarray(config.biases),
                            matrix=matrix)
     out_np = np.asarray(out)
 

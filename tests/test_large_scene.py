@@ -28,11 +28,16 @@ def test_preprocess_large_matches_monolithic(rng):
     arr = rng.integers(0, 256, (7, 90, 70)).astype(np.uint8)
     cal = CalibrationConfig()
     ref = np.asarray(preprocess_bands(jnp.asarray(arr),
-                                      jnp.asarray(cal.gains, jnp.float32),
-                                      jnp.asarray(cal.biases, jnp.float32)))
+                                      np.asarray(cal.gains),
+                                      np.asarray(cal.biases)))
     got = preprocess_large(arr, cal, tile_rows=32)
-    # identical arithmetic per tile; allow 1 LSB for fused-op differences
-    assert np.abs(ref.astype(int) - got.astype(int)).max() <= 1
+    assert np.array_equal(ref, got)  # both are the exact f64 LUT now
+    # and both bit-match the reference's float64 NumPy math
+    for i in range(7):
+        c64 = cal.gains[i] * arr[i].astype(np.float64) + cal.biases[i]
+        f64 = ((c64 - c64.min()) * 255.0 / (c64.max() - c64.min())
+               ).astype(np.uint8)
+        assert np.array_equal(f64, got[i]), i
 
 
 def test_global_stats_match_monolithic(rng, aa_scene):
@@ -42,8 +47,8 @@ def test_global_stats_match_monolithic(rng, aa_scene):
     cal = CalibrationConfig()
     cfg = FeatureStageConfig()
     pre = np.asarray(preprocess_bands(
-        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
-        jnp.asarray(cal.biases, jnp.float32)))
+        jnp.asarray(arr), np.asarray(cal.gains),
+        np.asarray(cal.biases)))
     stats = compute_global_stats(pre, cfg)
     for i in range(7):
         band = pre[i].astype(np.float64)
@@ -56,8 +61,8 @@ def test_large_scene_matches_monolithic(rng, aa_scene):
     cal = CalibrationConfig()
     cfg = FeatureStageConfig()
     pre = np.asarray(preprocess_bands(
-        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
-        jnp.asarray(cal.biases, jnp.float32)))
+        jnp.asarray(arr), np.asarray(cal.gains),
+        np.asarray(cal.biases)))
     # crop to keep the CPU test fast but multi-tile: 252 rows = 12 * 21
     pre = np.ascontiguousarray(pre[:, :252, :252])
 
@@ -85,8 +90,8 @@ def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
     cal = CalibrationConfig()
     cfg = FeatureStageConfig()
     pre = np.asarray(preprocess_bands(
-        jnp.asarray(arr), jnp.asarray(cal.gains, jnp.float32),
-        jnp.asarray(cal.biases, jnp.float32)))
+        jnp.asarray(arr), np.asarray(cal.gains),
+        np.asarray(cal.biases)))
     # 8 shards x 63 rows = 504 rows (63 = 3 * 21)
     pre = np.ascontiguousarray(pre[:, :504, :252])
 

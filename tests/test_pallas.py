@@ -24,8 +24,8 @@ def test_fused_calibrate_stretch_matches_reference_math(rng):
     cfg = CalibrationConfig()
     bands = rng.integers(0, 256, (7, 40, 50)).astype(np.float32)
     out = np.asarray(fused_calibrate_stretch(
-        jnp.asarray(bands), jnp.asarray(cfg.gains, jnp.float32),
-        jnp.asarray(cfg.biases, jnp.float32), interpret=True))
+        jnp.asarray(bands), np.asarray(cfg.gains),
+        np.asarray(cfg.biases), interpret=True))
     for i in range(7):
         cal = cfg.gains[i] * bands[i] + cfg.biases[i]
         ref = (cal - cal.min()) * 255.0 / (cal.max() - cal.min())

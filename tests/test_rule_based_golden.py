@@ -73,8 +73,8 @@ def test_rule_based_bundled_scene_matches_oracle(aa_scene):
     arr, info = aa_scene
     cal = CalibrationConfig()
     pre = preprocess_bands(jnp.asarray(arr),
-                           jnp.asarray(cal.gains, jnp.float32),
-                           jnp.asarray(cal.biases, jnp.float32))
+                           np.asarray(cal.gains),
+                           np.asarray(cal.biases))
     bands = jax.vmap(robust_normalize)(pre.astype(jnp.float32))
     idx = spectral_indices(bands)
     cfg = RuleBasedConfig()
