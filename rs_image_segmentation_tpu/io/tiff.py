@@ -255,6 +255,8 @@ class TiffInfo:
 
 
 class _Reader:
+    """Classic and BigTIFF (version 43) IFD reader."""
+
     def __init__(self, data: bytes):
         self.data = data
         bo = data[:2]
@@ -264,32 +266,50 @@ class _Reader:
             self.e = ">"
         else:
             raise ValueError("not a TIFF file")
-        magic, ifd_off = struct.unpack(self.e + "HI", data[2:8])
-        if magic != 42:
+        magic = struct.unpack(self.e + "H", data[2:4])[0]
+        if magic == 42:
+            self.big = False
+            ifd_off = struct.unpack(self.e + "I", data[4:8])[0]
+        elif magic == 43:
+            self.big = True
+            offsize, zero, ifd_off = struct.unpack(self.e + "HHQ", data[4:16])
+            if offsize != 8 or zero != 0:
+                raise ValueError("malformed BigTIFF header")
+        else:
             raise ValueError(f"unsupported TIFF magic {magic}")
         self.tags = self._read_ifd(ifd_off)
 
     def _read_ifd(self, off: int) -> Dict[int, tuple]:
         e, data = self.e, self.data
-        n = struct.unpack(e + "H", data[off:off + 2])[0]
+        if self.big:
+            n = struct.unpack(e + "Q", data[off:off + 8])[0]
+            base, esize, inline = off + 8, 20, 8
+        else:
+            n = struct.unpack(e + "H", data[off:off + 2])[0]
+            base, esize, inline = off + 2, 12, 4
         tags: Dict[int, tuple] = {}
         for i in range(n):
-            ent = data[off + 2 + 12 * i: off + 14 + 12 * i]
-            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            ent = data[base + esize * i: base + esize * (i + 1)]
+            if self.big:
+                tag, typ, cnt = struct.unpack(e + "HHQ", ent[:12])
+                val_field = ent[12:20]
+            else:
+                tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+                val_field = ent[8:12]
             if typ not in _TYPE_SIZE:
                 continue
             size = _TYPE_SIZE[typ] * cnt
-            raw = ent[8:12] if size <= 4 else None
-            if raw is None:
-                voff = struct.unpack(e + "I", ent[8:12])[0]
-                raw = data[voff:voff + size]
+            if size <= inline:
+                raw = val_field[:size]
             else:
-                raw = raw[:size]
+                voff = struct.unpack(e + ("Q" if self.big else "I"),
+                                     val_field)[0]
+                raw = data[voff:voff + size]
             if typ == 2:
                 vals = (raw.split(b"\x00")[0].decode("latin-1"),)
             elif typ in (5, 10):
-                base = "I" if typ == 5 else "i"
-                nums = struct.unpack(e + base * (2 * cnt), raw)
+                base_fmt = "I" if typ == 5 else "i"
+                nums = struct.unpack(e + base_fmt * (2 * cnt), raw)
                 vals = tuple(nums[2 * k] / (nums[2 * k + 1] or 1) for k in range(cnt))
             else:
                 vals = struct.unpack(e + _TYPE_FMT[typ] * cnt, raw)
@@ -501,9 +521,11 @@ def _epsg_from_crs(crs: Optional[str]) -> Optional[int]:
 
 
 class _Writer:
-    def __init__(self):
+    """Classic or BigTIFF (version 43) single-IFD writer."""
+
+    def __init__(self, big: bool = False):
         self.entries: List[Tuple[int, int, int, bytes]] = []  # tag, type, count, payload
-        self.extra: bytearray = bytearray()
+        self.big = big
 
     def add(self, tag: int, typ: int, values) -> None:
         if typ == 2:
@@ -527,18 +549,27 @@ class _Writer:
 
     def serialize(self, data_blocks: List[bytes], offset_tag: int,
                   count_tag: int) -> bytes:
-        # layout: header(8) | IFD | overflow tag payloads | data blocks
+        # layout: header | IFD | overflow tag payloads | data blocks
+        big = self.big
+        header = 16 if big else 8
+        esize = 20 if big else 12
+        inline = 8 if big else 4
+        off_type = 16 if big else 4  # LONG8 vs LONG
+        nexts = 8 if big else 4
+
+        # placeholder entries so the IFD size is final before layout
+        self._replace(offset_tag, off_type, [0] * len(data_blocks))
+        self._replace(count_tag, off_type, [0] * len(data_blocks))
         self.entries.sort(key=lambda x: x[0])
         n = len(self.entries)
-        ifd_off = 8
-        ifd_size = 2 + 12 * n + 4
+        ifd_off = header
+        ifd_size = (8 if big else 2) + esize * n + nexts
         overflow_off = ifd_off + ifd_size
-        # first pass: compute overflow size
-        overflow_size = sum(len(p) + (len(p) & 1) for _, _, _, p in self.entries if len(p) > 4)
+        overflow_size = sum(len(p) + (len(p) & 1)
+                            for _, _, _, p in self.entries if len(p) > inline)
         data_off = overflow_off + overflow_size
         if data_off & 1:
             data_off += 1
-        # patch offsets/counts entries for the data blocks
         offsets = []
         counts = []
         pos = data_off
@@ -546,26 +577,33 @@ class _Writer:
             offsets.append(pos)
             counts.append(len(blk))
             pos += len(blk) + (len(blk) & 1)
-        self._replace(offset_tag, 4, offsets)
-        self._replace(count_tag, 4, counts)
+        self._replace(offset_tag, off_type, offsets)
+        self._replace(count_tag, off_type, counts)
         self.entries.sort(key=lambda x: x[0])
 
         out = bytearray()
-        out += b"II" + struct.pack("<HI", 42, ifd_off)
-        out += struct.pack("<H", n)
+        if big:
+            out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+            out += struct.pack("<Q", n)
+        else:
+            out += b"II" + struct.pack("<HI", 42, ifd_off)
+            out += struct.pack("<H", n)
         overflow = bytearray()
         opos = overflow_off
         for tag, typ, cnt, payload in self.entries:
-            out += struct.pack("<HHI", tag, typ, cnt)
-            if len(payload) <= 4:
-                out += payload + b"\x00" * (4 - len(payload))
+            if big:
+                out += struct.pack("<HHQ", tag, typ, cnt)
             else:
-                out += struct.pack("<I", opos)
+                out += struct.pack("<HHI", tag, typ, cnt)
+            if len(payload) <= inline:
+                out += payload + b"\x00" * (inline - len(payload))
+            else:
+                out += struct.pack("<Q" if big else "<I", opos)
                 overflow += payload
                 if len(payload) & 1:
                     overflow += b"\x00"
                 opos += len(payload) + (len(payload) & 1)
-        out += struct.pack("<I", 0)  # next IFD
+        out += struct.pack("<Q" if big else "<I", 0)  # next IFD
         out += overflow
         while len(out) < data_off:
             out += b"\x00"
@@ -592,6 +630,7 @@ def write_tiff(
     band_names: Optional[Sequence[Optional[str]]] = None,
     colormap: Optional[np.ndarray] = None,  # (N,3) uint8 or uint16
     predictor: Optional[bool] = None,
+    bigtiff: bool = False,
 ) -> None:
     """Write a ``(C, H, W)`` or ``(H, W)`` array as a (Geo)TIFF."""
     arr = np.asarray(array)
@@ -633,7 +672,7 @@ def write_tiff(
         return raw
 
     blocks: List[bytes] = []
-    w = _Writer()
+    w = _Writer(big=bigtiff)
     w.add(T_IMAGE_WIDTH, 4, width)
     w.add(T_IMAGE_LENGTH, 4, height)
     w.add(T_BITS_PER_SAMPLE, 3, [bits] * spp)
@@ -674,8 +713,6 @@ def write_tiff(
                     ww = min(tw, width - xs)
                     tile[:h, :ww, :] = pix[ys:ys + h, xs:xs + ww, :]
                     blocks.append(compress_block(tile))
-        w.add(T_TILE_OFFSETS, 4, [0] * len(blocks))
-        w.add(T_TILE_BYTE_COUNTS, 4, [0] * len(blocks))
         off_tag, cnt_tag = T_TILE_OFFSETS, T_TILE_BYTE_COUNTS
     else:
         # strips of ~64 KiB
@@ -695,8 +732,6 @@ def write_tiff(
                 ys = s * rps
                 h = min(rps, height - ys)
                 blocks.append(compress_block(pix[ys:ys + h]))
-        w.add(T_STRIP_OFFSETS, 4, [0] * len(blocks))
-        w.add(T_STRIP_BYTE_COUNTS, 4, [0] * len(blocks))
         off_tag, cnt_tag = T_STRIP_OFFSETS, T_STRIP_BYTE_COUNTS
 
     # geo tags

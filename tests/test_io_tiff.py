@@ -109,3 +109,19 @@ def test_predictor3_float_decode():
         enc[r] = diff
     back = _unpredict_float(enc.tobytes(), rows, cols, samples, itemsize, "<")
     assert np.array_equal(back.astype(np.float32), data)
+
+
+def test_bigtiff_roundtrip(tmp_path, rng):
+    f = rng.standard_normal((4, 100, 110)).astype(np.float32)
+    meta = GeoMeta(transform=(30.0, 0.0, 5e5, 0.0, -30.0, 4e6),
+                   crs="EPSG:32630", nodata=0.0)
+    p = str(tmp_path / "big.tif")
+    write_tiff(p, f, meta, compression="lzw", tiled=True, tile_size=64,
+               band_names=["a", "b", "c", "d"], bigtiff=True)
+    g, gi = read_tiff(p)
+    assert np.array_equal(g, f)
+    assert gi.meta.crs == "EPSG:32630"
+    assert gi.band_names == ("a", "b", "c", "d")
+    with open(p, "rb") as fh:
+        header = fh.read(4)
+    assert header[2] == 43  # BigTIFF version
