@@ -50,8 +50,6 @@ def main() -> None:
     from rs_image_segmentation_tpu.tools.supervised import (
         train_random_forest_from_samples)
     from rs_image_segmentation_tpu.tools.sampling import SampleSet
-    from rs_image_segmentation_tpu.pipeline.evaluate import (
-        evaluate_classification)
 
     arr, info = read_tiff(SCENE)
     h, w = arr.shape[1], arr.shape[2]
@@ -85,7 +83,7 @@ def main() -> None:
     out.block_until_ready()
 
     # steady-state measurement
-    iters = 10
+    iters = 8
     t0 = time.perf_counter()
     for _ in range(iters):
         out = classify(arr)
@@ -93,12 +91,20 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     mp_per_s = mp / dt
 
-    # accuracy gate
+    # accuracy gate (host numpy — no extra device programs)
     class_map = np.asarray(out)
     roi = np.load(ROI)
-    metrics = evaluate_classification(class_map, roi)
-    kappa = metrics["kappa"]
-    oa = metrics["overall_accuracy"]
+    valid = roi > 0
+    y_true = roi[valid].astype(np.int64)
+    y_pred = class_map[valid].astype(np.int64)
+    labels = sorted(set(np.unique(y_true)) | set(np.unique(y_pred)))
+    idx = {l: i for i, l in enumerate(labels)}
+    cm = np.zeros((len(labels), len(labels)), np.float64)
+    for t, p in zip(y_true, y_pred):
+        cm[idx[t], idx[p]] += 1
+    oa = float(np.trace(cm) / cm.sum())
+    pe = float((cm.sum(0) * cm.sum(1)).sum() / cm.sum() ** 2)
+    kappa = (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
 
     result = {
         "metric": "e2e scene classification (preprocess+19ch features+RF)",
