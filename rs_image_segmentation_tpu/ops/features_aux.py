@@ -8,7 +8,7 @@ importance.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np

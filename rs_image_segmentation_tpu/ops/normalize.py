@@ -10,7 +10,6 @@ its parallel sort; the linear-interpolation quantile matches
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -16,9 +16,8 @@ Separable kernels (box, Gaussian) run as two rank-1 convs.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

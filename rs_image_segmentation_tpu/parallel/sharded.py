@@ -17,7 +17,7 @@ Strategy mapping (SURVEY.md §2.7):
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -25,8 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rs_image_segmentation_tpu.core.config import FeatureStageConfig
 from rs_image_segmentation_tpu.models.forest import FlatForest, forest_predict
-from rs_image_segmentation_tpu.models.kmeans import (KMeansState,
-                                                     kmeans_fit_predict)
+from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
 from rs_image_segmentation_tpu.pipeline.features import hierarchical_stack
 
 

@@ -22,8 +22,6 @@ windows align with the global window grid.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,11 +17,9 @@ artifacts. Device graphs:
 from __future__ import annotations
 
 import os
-import pickle
 import warnings
 from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -23,14 +23,13 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rs_image_segmentation_tpu.core.config import FeatureStageConfig
-from rs_image_segmentation_tpu.core.types import GeoMeta
 from rs_image_segmentation_tpu.models.pca import pca_bands
 from rs_image_segmentation_tpu.ops.indices import spectral_indices
 from rs_image_segmentation_tpu.ops.morphology import (

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rs_image_segmentation_tpu.core.config import CalibrationConfig
-from rs_image_segmentation_tpu.core.types import GeoMeta, Raster
+from rs_image_segmentation_tpu.core.types import Raster
 from rs_image_segmentation_tpu.io.tiff import read_tiff, write_tiff
 from rs_image_segmentation_tpu.ops.normalize import minmax_stretch_u8
 from rs_image_segmentation_tpu.ops.resize import warp_affine_bilinear

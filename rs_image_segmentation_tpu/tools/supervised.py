@@ -11,7 +11,6 @@ host-side fold loop.
 from __future__ import annotations
 
 import os
-import pickle
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
