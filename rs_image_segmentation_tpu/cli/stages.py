@@ -58,6 +58,63 @@ def stage3(argv=None) -> None:
     print(f"stage 3 done -> {args.output_dir}")
 
 
+def classify_large(argv=None) -> None:
+    """Memory-bounded tiled classification of arbitrarily large scenes."""
+    p = argparse.ArgumentParser(
+        description="Tiled large-scene classification (global semantics)")
+    p.add_argument("--scene", required=True,
+                   help="raw (7-band uint8) or preprocessed scene GeoTIFF")
+    p.add_argument("--raw", action="store_true",
+                   help="scene is raw DNs: run the tiled preprocess first")
+    p.add_argument("--samples", default="data/samples.pkl")
+    p.add_argument("--model", default=None,
+                   help="joblib/npz forest to load instead of training")
+    p.add_argument("--output", default="output/class_map_large.tif")
+    p.add_argument("--tile-rows", type=int, default=504)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from rs_image_segmentation_tpu.io.tiff import read_tiff, write_tiff
+    from rs_image_segmentation_tpu.models.forest import _gemm_for
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        classify_large_scene, preprocess_large)
+
+    arr, info = read_tiff(args.scene)
+    if args.raw:
+        arr = preprocess_large(arr.astype(np.uint8))
+    else:
+        arr = arr.astype(np.uint8)
+
+    if args.model and args.model.endswith(".npz"):
+        from rs_image_segmentation_tpu.models.serialize import load_flat_forest
+        forest, depth = load_flat_forest(args.model)
+    elif args.model:
+        import joblib
+        from rs_image_segmentation_tpu.models.forest import forest_from_sklearn
+        forest, depth = forest_from_sklearn(joblib.load(args.model))
+    else:
+        # train from point samples over a small feature extraction pass
+        import jax.numpy as jnp
+        from rs_image_segmentation_tpu.pipeline.features import (
+            hierarchical_stack_fused)
+        from rs_image_segmentation_tpu.tools.sampling import (
+            training_matrix_from_samples)
+        from rs_image_segmentation_tpu.tools.supervised import (
+            train_random_forest_from_samples)
+        stack = np.asarray(hierarchical_stack_fused(
+            jnp.asarray(arr, jnp.float32)))
+        x, y = training_matrix_from_samples(args.samples, stack)
+        forest, depth = train_random_forest_from_samples(x, y)
+
+    gf = _gemm_for(forest, 19)
+    result = classify_large_scene(arr, gf, tile_rows=args.tile_rows)
+    import os
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    write_tiff(args.output, result.astype(np.uint8)[None], info.meta,
+               compression="lzw", tiled=True)
+    print(f"large-scene classification {result.shape} -> {args.output}")
+
+
 def stage4(argv=None) -> None:
     p = argparse.ArgumentParser(description="Stage 4: evaluation")
     p.add_argument("--classification", default="output/class_map.npy")
