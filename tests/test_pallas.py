@@ -30,3 +30,27 @@ def test_fused_calibrate_stretch_matches_reference_math(rng):
         cal = cfg.gains[i] * bands[i] + cfg.biases[i]
         ref = (cal - cal.min()) * 255.0 / (cal.max() - cal.min())
         assert np.abs(ref - out[i]).max() < 1e-2, i
+
+
+def test_glcm_pallas_matches_xla(rng):
+    import math
+    from rs_image_segmentation_tpu.ops.pallas_kernels import glcm_grid_pallas
+    from rs_image_segmentation_tpu.ops.texture import (
+        _extract_windows, _offset_for_angle, glcm_matrices, glcm_properties)
+
+    levels, window = 8, 12
+    angles = (0.0, math.pi / 4, math.pi / 2, 3 * math.pi / 4)
+    offsets = tuple(_offset_for_angle(1, a) for a in angles)
+    q = jnp.asarray(rng.integers(0, levels, (48, 60)).astype(np.int32))
+
+    ref_windows = _extract_windows(q, window, window)
+    glcm = glcm_matrices(ref_windows, levels, (1,), angles)
+    props = glcm_properties(glcm)
+    n_i, n_j = 4, 5
+    ref = np.stack([np.asarray(jnp.mean(props[k], axis=(1, 2))).reshape(n_i, n_j)
+                    for k in ["contrast", "dissimilarity", "homogeneity",
+                              "energy", "correlation"]], axis=-1)
+    got = np.asarray(glcm_grid_pallas(q, levels, window, window, offsets,
+                                      interpret=True))
+    assert got.shape == (n_i, n_j, 5)
+    assert np.abs(ref - got).max() < 1e-4
