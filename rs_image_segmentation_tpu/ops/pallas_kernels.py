@@ -88,59 +88,64 @@ def fused_spectral_indices(bands: jnp.ndarray,
     return out[:, :h, :w]
 
 
-def _glcm_window_kernel(levels: int, window: int, offsets, q_ref, out_ref):
-    """One GLCM window per grid step: build the symmetric normalized
-    co-occurrence matrix for all offsets via one-hot contractions in VMEM
-    and reduce the five props — the whole window stays on-chip."""
-    win = q_ref[0]  # (window, window) int32
+_GLCM_BLOCK = 8  # windows per program (sublane-aligned)
+
+
+def _glcm_window_kernel(levels: int, window: int, offsets, win_ref, out_ref):
+    """8 GLCM windows per grid step: for each, build the symmetric
+    normalized co-occurrence matrix for all offsets via one-hot contractions
+    in VMEM and reduce the five props — windows never leave the chip."""
     lv = jax.lax.broadcasted_iota(jnp.int32, (1, levels), 1)
     i_idx = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 0)
     j_idx = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 1)
     diff = i_idx - j_idx
 
-    contrast = jnp.float32(0.0)
-    dissim = jnp.float32(0.0)
-    homog = jnp.float32(0.0)
-    energy = jnp.float32(0.0)
-    corr = jnp.float32(0.0)
-    for dr, dc in offsets:
-        r0, r1 = max(0, -dr), min(window, window - dr)
-        c0, c1 = max(0, -dc), min(window, window - dc)
-        src = win[r0:r1, c0:c1].reshape(-1, 1)
-        dst = win[r0 + dr:r1 + dr, c0 + dc:c1 + dc].reshape(-1, 1)
-        a_oh = (src == lv).astype(jnp.float32)      # (P, L)
-        b_oh = (dst == lv).astype(jnp.float32)
-        cm = jax.lax.dot_general(a_oh, b_oh, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        cm = cm + cm.T
-        total = jnp.sum(cm)
-        p = cm / jnp.where(total > 0, total, 1.0)
-        contrast += jnp.sum(p * diff * diff)
-        dissim += jnp.sum(p * jnp.abs(diff))
-        homog += jnp.sum(p / (1.0 + diff * diff))
-        energy += jnp.sqrt(jnp.sum(p * p))
-        mean_i = jnp.sum(p * i_idx)
-        mean_j = jnp.sum(p * j_idx)
-        var_i = jnp.sum(p * (i_idx - mean_i) ** 2)
-        var_j = jnp.sum(p * (j_idx - mean_j) ** 2)
-        std = jnp.sqrt(var_i * var_j)
-        cov = jnp.sum(p * (i_idx - mean_i) * (j_idx - mean_j))
-        corr += jnp.where(std < 1e-15, 1.0, cov / jnp.where(std < 1e-15, 1.0, std))
-    n = float(len(offsets))
-    out_ref[0, 0, 0] = contrast / n
-    out_ref[0, 0, 1] = dissim / n
-    out_ref[0, 0, 2] = homog / n
-    out_ref[0, 0, 3] = energy / n
-    out_ref[0, 0, 4] = corr / n
+    rows = []
+    for k in range(_GLCM_BLOCK):
+        win = win_ref[k, :window, :window]
+        contrast = jnp.float32(0.0)
+        dissim = jnp.float32(0.0)
+        homog = jnp.float32(0.0)
+        energy = jnp.float32(0.0)
+        corr = jnp.float32(0.0)
+        for dr, dc in offsets:
+            r0, r1 = max(0, -dr), min(window, window - dr)
+            c0, c1 = max(0, -dc), min(window, window - dc)
+            src = win[r0:r1, c0:c1].reshape(-1, 1)
+            dst = win[r0 + dr:r1 + dr, c0 + dc:c1 + dc].reshape(-1, 1)
+            a_oh = (src == lv).astype(jnp.float32)      # (P, L)
+            b_oh = (dst == lv).astype(jnp.float32)
+            cm = jax.lax.dot_general(a_oh, b_oh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            cm = cm + cm.T
+            total = jnp.sum(cm)
+            p = cm / jnp.where(total > 0, total, 1.0)
+            contrast += jnp.sum(p * diff * diff)
+            dissim += jnp.sum(p * jnp.abs(diff))
+            homog += jnp.sum(p / (1.0 + diff * diff))
+            energy += jnp.sqrt(jnp.sum(p * p))
+            mean_i = jnp.sum(p * i_idx)
+            mean_j = jnp.sum(p * j_idx)
+            var_i = jnp.sum(p * (i_idx - mean_i) ** 2)
+            var_j = jnp.sum(p * (j_idx - mean_j) ** 2)
+            std = jnp.sqrt(var_i * var_j)
+            cov = jnp.sum(p * (i_idx - mean_i) * (j_idx - mean_j))
+            corr += jnp.where(std < 1e-15, 1.0,
+                              cov / jnp.where(std < 1e-15, 1.0, std))
+        n = float(len(offsets))
+        rows.append(jnp.stack([contrast, dissim, homog, energy, corr]) / n)
+    out_ref[:, :] = jnp.stack(rows)  # one vector store for the whole block
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "window", "step",
                                              "offsets", "interpret"))
 def glcm_grid_pallas(q: jnp.ndarray, levels: int, window: int, step: int,
                      offsets, interpret: bool = False) -> jnp.ndarray:
-    """Per-window GLCM props as a Pallas kernel: grid over the window grid,
-    each program holds its (window, window) block + 2x (P, levels) one-hot
-    operands entirely in VMEM — no HBM co-occurrence tensors at all.
+    """Per-window GLCM props as a Pallas kernel.
+
+    Windows are pre-gathered to a (N, ceil8(window), ceil128(window)) layout
+    (Mosaic block alignment), then each program reduces 8 windows entirely
+    in VMEM — no HBM co-occurrence tensors at all.
 
     q: (H, W) int32 quantized band. Returns (n_i, n_j, 5) float32 in the
     order [contrast, dissimilarity, homogeneity, energy, correlation]
@@ -149,22 +154,32 @@ def glcm_grid_pallas(q: jnp.ndarray, levels: int, window: int, step: int,
     if step != window:
         raise ValueError("pallas GLCM supports the reference's "
                          "non-overlapping grid (step == window) only")
+    from rs_image_segmentation_tpu.ops.texture import _extract_windows
+
     h, w = q.shape
     n_i = (h - window) // step + 1
     n_j = (w - window) // step + 1
+    n = n_i * n_j
+    windows = _extract_windows(q.astype(jnp.int32), window, step)
+    ph = (-window) % _SUBLANE
+    pw = (-window) % _LANE
+    pn = (-n) % _GLCM_BLOCK
+    padded = jnp.pad(windows, ((0, pn), (0, ph), (0, pw)),
+                     constant_values=0)
     kern = functools.partial(_glcm_window_kernel, levels, window,
                              tuple(offsets))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_i, n_j, 5), jnp.float32),
-        grid=(n_i, n_j),
-        in_specs=[pl.BlockSpec((1, window, window),
-                               lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, 5), lambda i, j: (i, j, 0),
+        out_shape=jax.ShapeDtypeStruct((n + pn, 5), jnp.float32),
+        grid=((n + pn) // _GLCM_BLOCK,),
+        in_specs=[pl.BlockSpec(
+            (_GLCM_BLOCK, window + ph, window + pw),
+            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_GLCM_BLOCK, 5), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q.reshape(1, h, w).astype(jnp.int32))
+    )(padded)
+    return out[:n].reshape(n_i, n_j, 5)
 
 
 def _calib_stretch_kernel(gain_ref, bias_ref, mn_ref, mx_ref, band_ref,
