@@ -96,8 +96,11 @@ def _glcm_window_kernel(levels: int, window: int, offsets, win_ref, out_ref):
     normalized co-occurrence matrix for all offsets via one-hot contractions
     in VMEM and reduce the five props — windows never leave the chip."""
     lv = jax.lax.broadcasted_iota(jnp.int32, (1, levels), 1)
-    i_idx = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 0)
-    j_idx = jax.lax.broadcasted_iota(jnp.float32, (levels, levels), 1)
+    # TPU iota is integer-only; cast after
+    i_idx = jax.lax.broadcasted_iota(jnp.int32, (levels, levels), 0
+                                     ).astype(jnp.float32)
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (levels, levels), 1
+                                     ).astype(jnp.float32)
     diff = i_idx - j_idx
 
     rows = []
