@@ -91,12 +91,15 @@ def fused_spectral_indices(bands: jnp.ndarray,
 _GLCM_BLOCK = 8  # windows per program (sublane-aligned)
 
 
-def _glcm_window_kernel(levels: int, window: int, offsets, win_ref, out_ref):
-    """8 GLCM windows per grid step: for each, build the symmetric
-    normalized co-occurrence matrix for all offsets via one-hot contractions
-    in VMEM and reduce the five props — windows never leave the chip."""
-    lv = jax.lax.broadcasted_iota(jnp.int32, (1, levels), 1)
-    # TPU iota is integer-only; cast after
+def _glcm_pairs_kernel(levels: int, n_offsets: int, src_ref, dst_ref,
+                       out_ref):
+    """8 windows x n_offsets per grid step. Refs hold the flattened
+    (pair-padded) src/dst level sequences as (8*n_offsets, P) rows; every
+    op stays 2-D (Mosaic-friendly): one-hot rows via (L, 1) == (1, P)
+    compares, co-occurrence via an (L, P) x (L, P)^T contraction on the
+    MXU, props as elementwise reductions. Padding pairs carry -1 and
+    one-hot to zero, so they contribute nothing."""
+    lv_col = jax.lax.broadcasted_iota(jnp.int32, (levels, 1), 0)
     i_idx = jax.lax.broadcasted_iota(jnp.int32, (levels, levels), 0
                                      ).astype(jnp.float32)
     j_idx = jax.lax.broadcasted_iota(jnp.int32, (levels, levels), 1
@@ -105,20 +108,18 @@ def _glcm_window_kernel(levels: int, window: int, offsets, win_ref, out_ref):
 
     rows = []
     for k in range(_GLCM_BLOCK):
-        win = win_ref[k, :window, :window]
         contrast = jnp.float32(0.0)
         dissim = jnp.float32(0.0)
         homog = jnp.float32(0.0)
         energy = jnp.float32(0.0)
         corr = jnp.float32(0.0)
-        for dr, dc in offsets:
-            r0, r1 = max(0, -dr), min(window, window - dr)
-            c0, c1 = max(0, -dc), min(window, window - dc)
-            src = win[r0:r1, c0:c1].reshape(-1, 1)
-            dst = win[r0 + dr:r1 + dr, c0 + dc:c1 + dc].reshape(-1, 1)
-            a_oh = (src == lv).astype(jnp.float32)      # (P, L)
-            b_oh = (dst == lv).astype(jnp.float32)
-            cm = jax.lax.dot_general(a_oh, b_oh, (((0,), (0,)), ((), ())),
+        for o in range(n_offsets):
+            r = k * n_offsets + o
+            src = src_ref[r:r + 1, :]                   # (1, P)
+            dst = dst_ref[r:r + 1, :]
+            a = (lv_col == src).astype(jnp.bfloat16)    # (L, P)
+            b = (lv_col == dst).astype(jnp.bfloat16)
+            cm = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             cm = cm + cm.T
             total = jnp.sum(cm)
@@ -135,7 +136,7 @@ def _glcm_window_kernel(levels: int, window: int, offsets, win_ref, out_ref):
             cov = jnp.sum(p * (i_idx - mean_i) * (j_idx - mean_j))
             corr += jnp.where(std < 1e-15, 1.0,
                               cov / jnp.where(std < 1e-15, 1.0, std))
-        n = float(len(offsets))
+        n = float(n_offsets)
         rows.append(jnp.stack([contrast, dissim, homog, energy, corr]) / n)
     out_ref[:, :] = jnp.stack(rows)  # one vector store for the whole block
 
@@ -146,9 +147,9 @@ def glcm_grid_pallas(q: jnp.ndarray, levels: int, window: int, step: int,
                      offsets, interpret: bool = False) -> jnp.ndarray:
     """Per-window GLCM props as a Pallas kernel.
 
-    Windows are pre-gathered to a (N, ceil8(window), ceil128(window)) layout
-    (Mosaic block alignment), then each program reduces 8 windows entirely
-    in VMEM — no HBM co-occurrence tensors at all.
+    The offset pixel pairs are pre-flattened by XLA into lane-aligned
+    (windows*offsets, P) sequences (pad = -1); each Pallas program then
+    reduces 8 windows entirely in VMEM — no HBM co-occurrence tensors.
 
     q: (H, W) int32 quantized band. Returns (n_i, n_j, 5) float32 in the
     order [contrast, dissimilarity, homogeneity, energy, correlation]
@@ -164,24 +165,46 @@ def glcm_grid_pallas(q: jnp.ndarray, levels: int, window: int, step: int,
     n_j = (w - window) // step + 1
     n = n_i * n_j
     windows = _extract_windows(q.astype(jnp.int32), window, step)
-    ph = (-window) % _SUBLANE
-    pw = (-window) % _LANE
+
+    p_max = max((min(window, window - dr) - max(0, -dr))
+                * (min(window, window - dc) - max(0, -dc))
+                for dr, dc in offsets)
+    p_pad = -(-p_max // _LANE) * _LANE
+
+    src_rows = []
+    dst_rows = []
+    for dr, dc in offsets:
+        r0, r1 = max(0, -dr), min(window, window - dr)
+        c0, c1 = max(0, -dc), min(window, window - dc)
+        s = windows[:, r0:r1, c0:c1].reshape(n, -1)
+        d = windows[:, r0 + dr:r1 + dr, c0 + dc:c1 + dc].reshape(n, -1)
+        pad = p_pad - s.shape[1]
+        src_rows.append(jnp.pad(s, ((0, 0), (0, pad)), constant_values=-1))
+        dst_rows.append(jnp.pad(d, ((0, 0), (0, pad)), constant_values=-1))
+    # interleave: rows (window k, offset o) at index k*n_offsets + o
+    n_off = len(offsets)
+    src = jnp.stack(src_rows, axis=1).reshape(n * n_off, p_pad)
+    dst = jnp.stack(dst_rows, axis=1).reshape(n * n_off, p_pad)
     pn = (-n) % _GLCM_BLOCK
-    padded = jnp.pad(windows, ((0, pn), (0, ph), (0, pw)),
-                     constant_values=0)
-    kern = functools.partial(_glcm_window_kernel, levels, window,
-                             tuple(offsets))
+    if pn:
+        src = jnp.pad(src, ((0, pn * n_off), (0, 0)), constant_values=-1)
+        dst = jnp.pad(dst, ((0, pn * n_off), (0, 0)), constant_values=-1)
+
+    kern = functools.partial(_glcm_pairs_kernel, levels, n_off)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n + pn, 5), jnp.float32),
         grid=((n + pn) // _GLCM_BLOCK,),
-        in_specs=[pl.BlockSpec(
-            (_GLCM_BLOCK, window + ph, window + pw),
-            lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        in_specs=[
+            pl.BlockSpec((_GLCM_BLOCK * n_off, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GLCM_BLOCK * n_off, p_pad), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((_GLCM_BLOCK, 5), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(padded)
+    )(src, dst)
     return out[:n].reshape(n_i, n_j, 5)
 
 

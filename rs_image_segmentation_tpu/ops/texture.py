@@ -128,16 +128,33 @@ def glcm_feature_maps(band01: jnp.ndarray, levels: int = 32,
                       distances: Sequence[int] = (1,),
                       angles: Sequence[float] = (0.0, math.pi / 4,
                                                  math.pi / 2, 3 * math.pi / 4),
+                      backend: str = "xla",
                       ) -> Dict[str, jnp.ndarray]:
     """Full GLCM stage on an already [0,1]-normalized band: quantize ->
     windowed co-occurrence -> props -> mean over angles -> bilinear resize
-    back to the input resolution (reference indices.py:248-318)."""
+    back to the input resolution (reference indices.py:248-318).
+
+    backend='xla' (default): batched one-hot contraction over all windows.
+    backend='pallas': per-window VMEM kernel (ops.pallas_kernels), distances
+    restricted to (1,) and step == window.
+    """
     from rs_image_segmentation_tpu.ops.resize import resize_bilinear
 
     h, w = band01.shape
     q = (band01 * (levels - 1)).astype(jnp.uint8).astype(jnp.int32)
     n_i = (h - window_size) // step_size + 1
     n_j = (w - window_size) // step_size + 1
+    names = ["contrast", "dissimilarity", "homogeneity", "energy",
+             "correlation"]
+    if backend == "pallas":
+        from rs_image_segmentation_tpu.ops.pallas_kernels import (
+            glcm_grid_pallas)
+        if tuple(distances) != (1,):
+            raise ValueError("pallas GLCM supports distance 1 only")
+        offsets = tuple(_offset_for_angle(1, a) for a in angles)
+        grids = glcm_grid_pallas(q, levels, window_size, step_size, offsets)
+        return {name: resize_bilinear(grids[:, :, k], (h, w))
+                for k, name in enumerate(names)}
     windows = _extract_windows(q, window_size, step_size)
     glcm = glcm_matrices(windows, levels, distances, angles)
     props = glcm_properties(glcm)

@@ -154,3 +154,21 @@ def test_stage4_evaluator(stage_dirs, feature_artifacts):
         assert os.path.exists(str(stage_dirs / "eval" / f)), f
     report = open(str(stage_dirs / "eval" / "evaluation_report.txt")).read()
     assert "Overall Accuracy" in report and "Kappa" in report
+
+
+def test_kmeans_through_stage4(stage_dirs, feature_artifacts):
+    """KMeans clusters -> majority mapping -> metrics on the bundled ROI."""
+    import numpy as np
+    from rs_image_segmentation_tpu.pipeline.evaluate import (
+        ClassificationEvaluator)
+    km_tif = str(stage_dirs / "km" / "kmeans_classification_map.tif")
+    if not os.path.exists(km_tif):
+        pytest.skip("kmeans stage output missing")
+    ev = ClassificationEvaluator()
+    metrics = ev.evaluate_classification(km_tif, REFERENCE_ROI,
+                                         str(stage_dirs / "eval_km"),
+                                         map_clusters=True)
+    # unsupervised clusters mapped by majority vote should explain most of
+    # the 33 labeled pixels
+    assert metrics["overall_accuracy"] > 0.6
+    assert os.path.exists(str(stage_dirs / "eval_km" / "evaluation_report.txt"))
