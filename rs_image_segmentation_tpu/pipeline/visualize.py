@@ -14,6 +14,34 @@ from typing import Dict, Optional
 
 import numpy as np
 
+def visualize_selected_features(features: Dict, keys, save_path: str,
+                                cols: int = 4) -> Optional[str]:
+    """Grid plot of named 2-D feature maps (reference indices.py:564-628)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    maps = [(k, np.asarray(features[k])) for k in keys
+            if isinstance(features.get(k), np.ndarray)
+            and features[k].ndim == 2]
+    if not maps:
+        return None
+    rows = -(-len(maps) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 4 * rows))
+    axes = np.atleast_1d(axes).reshape(-1)
+    for ax in axes:
+        ax.axis("off")
+    for ax, (name, img) in zip(axes, maps):
+        im = ax.imshow(img, cmap="viridis")
+        ax.set_title(name, fontsize=9)
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
 _CHANNEL_CANDIDATES = {
     "R": ("bsi", "ndbi"),
     "G": ("evi", "msavi", "ndvi"),
