@@ -80,6 +80,63 @@ def train_random_forest_grid(x: np.ndarray, y: np.ndarray,
     return forest, d, {"best_max_depth": best, "cv_scores": scores}
 
 
+def train_with_validation_report(x: np.ndarray, y: np.ndarray,
+                                 feature_names=None, n_estimators: int = 100,
+                                 test_size: float = 0.3, seed: int = 42
+                                 ) -> Tuple[FlatForest, int, dict]:
+    """The reference's train_random_forest_classifier behavior
+    (extract.py:635-688): stratified 70/30 split, fit, validation accuracy /
+    Kappa / per-class report / sorted feature importances. Returns
+    (forest, depth, report_dict)."""
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.ops.stats import evaluate_predictions
+
+    rng = np.random.default_rng(seed)
+    classes, counts = np.unique(y, return_counts=True)
+    # stratified split when every class has >= 2 samples
+    if len(classes) > 1 and counts.min() >= 2:
+        tr_idx, va_idx = [], []
+        for c in classes:
+            idx = rng.permutation(np.where(y == c)[0])
+            n_val = max(1, int(round(len(idx) * test_size)))
+            va_idx.append(idx[:n_val])
+            tr_idx.append(idx[n_val:])
+        tr = np.concatenate(tr_idx)
+        va = np.concatenate(va_idx)
+    else:
+        perm = rng.permutation(len(y))
+        n_val = int(len(y) * test_size)
+        va, tr = perm[:n_val], perm[n_val:]
+
+    forest, depth = train_random_forest_from_samples(
+        x[tr], y[tr], n_estimators=n_estimators, seed=seed)
+    report: dict = {"n_train": int(len(tr)), "n_val": int(len(va))}
+    if len(va):
+        pred = np.asarray(forest_predict(forest, jnp.asarray(x[va]), depth,
+                                         chunk=max(64, len(va))))
+        labels = sorted(set(np.unique(y[va])) | set(np.unique(pred)))
+        cm, oa, kappa, per = evaluate_predictions(
+            jnp.asarray(y[va]), jnp.asarray(pred), labels)
+        report.update(accuracy=oa, kappa=kappa, confusion_matrix=cm,
+                      labels=labels,
+                      per_class={int(l): {k: float(v[i]) for k, v in
+                                          per.items()}
+                                 for i, l in enumerate(labels)})
+    # impurity-based importances from the full-data sklearn fit when present
+    try:
+        from sklearn.ensemble import RandomForestClassifier
+        clf = RandomForestClassifier(n_estimators=n_estimators,
+                                     random_state=seed).fit(x[tr], y[tr])
+        imp = clf.feature_importances_
+        names = feature_names or [f"feature_{i}" for i in range(x.shape[1])]
+        order = np.argsort(imp)[::-1]
+        report["feature_importances"] = [(names[i], float(imp[i]))
+                                         for i in order]
+    except ImportError:
+        pass
+    return forest, depth, report
+
+
 def predict_image(forest: FlatForest, depth: int,
                   feature_map: np.ndarray) -> np.ndarray:
     """Full-scene device predict (reference supervised_classifiers.py:99-115)."""

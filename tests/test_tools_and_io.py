@@ -233,3 +233,19 @@ def test_checked_raises_on_nan():
     ok = checked(lambda v: v * 2)(jnp.asarray([1.0]))
     assert float(ok[0]) == 2.0
     assert float(sanitize(jnp.asarray([float("nan")]))[0]) == 0.0
+
+
+def test_train_with_validation_report(rng):
+    from rs_image_segmentation_tpu.tools.supervised import (
+        train_with_validation_report)
+    centers = rng.standard_normal((3, 8)) * 4
+    x = np.concatenate([centers[i] + rng.standard_normal((100, 8))
+                        for i in range(3)]).astype(np.float32)
+    y = np.repeat([1, 2, 3], 100)
+    forest, depth, report = train_with_validation_report(x, y,
+                                                         n_estimators=20)
+    assert report["n_train"] + report["n_val"] == 300
+    assert report["accuracy"] > 0.9
+    assert report["kappa"] > 0.85
+    assert set(report["per_class"]) == {1, 2, 3}
+    assert len(report["feature_importances"]) == 8
