@@ -12,10 +12,10 @@ from rs_image_segmentation_tpu.ops.normalize import percentile
 
 
 def histogram256(x_u8: jnp.ndarray) -> jnp.ndarray:
-    """256-bin histogram of a uint8 image via one-hot sum (no scatter)."""
+    """256-bin histogram of a uint8 image (scatter-add; XLA lowers it to a
+    sort+segment-reduce on TPU without materializing a one-hot)."""
     flat = x_u8.reshape(-1).astype(jnp.int32)
-    oh = (flat[:, None] == jnp.arange(256)[None, :]).astype(jnp.float32)
-    return jnp.sum(oh, axis=0)
+    return jnp.zeros(256, jnp.float32).at[flat].add(1.0)
 
 
 def otsu_threshold_u8(x_u8: jnp.ndarray) -> jnp.ndarray:
