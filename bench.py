@@ -58,6 +58,8 @@ def main() -> None:
     gains = np.asarray(cal.gains)
     biases = np.asarray(cal.biases)
 
+    from rs_image_segmentation_tpu.pipeline.preprocess import _apply_lut
+
     def features_for(bands_np):
         # H2D happens inside (the exact-LUT preprocess ships the scene)
         pre = preprocess_bands(bands_np, gains, biases)
@@ -71,12 +73,31 @@ def main() -> None:
     gf = _gemm_for(forest, stack0.shape[-1])
     chunk = _gemm_chunk(gf.path.shape[1])
 
-    def classify(bands_np):
-        # full e2e incl. host->device transfer: 3 dispatches total
-        stack = features_for(bands_np)
+    def _build_lut(bands_np):
+        # exact f64 per-DN preprocess table (see pipeline.preprocess)
+        c = bands_np.shape[0]
+        dn = np.arange(256, dtype=np.float64)
+        lut = np.zeros((c, 256), np.float32)
+        for i in range(c):
+            cal_v = gains[i] * dn + biases[i]
+            present = np.bincount(bands_np[i].reshape(-1),
+                                  minlength=256) > 0
+            mn, mx = cal_v[present].min(), cal_v[present].max()
+            lut[i] = ((cal_v - mn) * 255.0 / (mx - mn)).astype(np.uint8)
+        return lut
+
+    @jax.jit
+    def _classify_dev(scene_u8, lut):
+        # ONE device program: LUT preprocess -> 19ch stack -> forest GEMM
+        pre = _apply_lut(scene_u8, lut)
+        stack = hierarchical_stack_fused(pre.astype(jnp.float32))
         pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
                                    chunk)
         return pred.reshape(h, w)
+
+    def classify(bands_np):
+        # full e2e: host LUT build + H2D + a single device dispatch
+        return _classify_dev(bands_np, _build_lut(bands_np))
 
     # warmup/compile
     out = classify(arr)
@@ -121,7 +142,10 @@ def main() -> None:
         "kappa": round(kappa, 4),
         "kappa_baseline": 0.953,
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+    # skip jax/runtime teardown: the device tunnel in this environment can
+    # hang atexit handlers for minutes after the result is already printed
+    os._exit(0)
 
 
 if __name__ == "__main__":
