@@ -106,3 +106,17 @@ def test_fused_stack_equals_composed(rng):
     a = np.asarray(hierarchical_stack(b, cfg))
     c = np.asarray(hierarchical_stack_fused(b, cfg))
     assert np.abs(a - c).max() < 1e-6
+
+
+def test_extract_features_five_bands(rng):
+    """The reference accepts 5-band stacks (thermal/SWIR2 optional,
+    2_feature_extraction.py:54-56)."""
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.pipeline.features import extract_features
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8))
+    b = jnp.asarray(rng.integers(0, 255, (5, 48, 48)).astype(np.float32))
+    feats, hier = extract_features(b, cfg)
+    assert hier["all"].shape == (48, 48, 19)
+    assert feats["pca_result"].shape[0] == 5

@@ -249,3 +249,63 @@ def test_train_with_validation_report(rng):
     assert report["kappa"] > 0.85
     assert set(report["per_class"]) == {1, 2, 3}
     assert len(report["feature_importances"]) == 8
+
+
+def test_batch_workflow(tmp_path, rng):
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.core.types import GeoMeta
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    from rs_image_segmentation_tpu.models.forest import fit_random_forest
+    from rs_image_segmentation_tpu.tools.batch import run_batch_workflow
+
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8))
+    paths, rois = [], []
+    for i in range(3):
+        arr = rng.integers(0, 255, (7, 48, 48)).astype(np.uint8)
+        p = str(tmp_path / f"scene{i}.tif")
+        write_tiff(p, arr, GeoMeta(transform=(30.0, 0, 5e5, 0, -30.0, 4e6)))
+        paths.append(p)
+        roi = np.zeros((48, 48), np.int16)
+        roi[::9, ::9] = rng.integers(1, 4, roi[::9, ::9].shape)
+        rp = str(tmp_path / f"roi{i}.npy")
+        np.save(rp, roi)
+        rois.append(rp)
+
+    x = rng.random((60, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 60)
+    forest, depth = fit_random_forest(x, y, n_estimators=10, seed=0)
+    out = run_batch_workflow(paths, forest, depth, str(tmp_path / "out"),
+                             roi_paths=rois, cfg=cfg)
+    assert len(out) == 3
+    for e in out:
+        assert os.path.exists(e["class_map"])
+        assert "kappa" in e
+
+
+def test_batch_workflow_on_mesh(tmp_path, rng):
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    from rs_image_segmentation_tpu.models.forest import fit_random_forest
+    from rs_image_segmentation_tpu.parallel.mesh import make_mesh
+    from rs_image_segmentation_tpu.tools.batch import run_batch_workflow
+
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8))
+    paths = []
+    for i in range(8):
+        arr = rng.integers(0, 255, (7, 48, 48)).astype(np.uint8)
+        p = str(tmp_path / f"s{i}.tif")
+        write_tiff(p, arr)
+        paths.append(p)
+    x = rng.random((60, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 60)
+    forest, depth = fit_random_forest(x, y, n_estimators=10, seed=0)
+    mesh = make_mesh(axis_names=("data",))
+    out = run_batch_workflow(paths, forest, depth, str(tmp_path / "o"),
+                             mesh=mesh, cfg=cfg)
+    assert len(out) == 8
+    for e in out:
+        assert os.path.exists(e["class_map"])
