@@ -125,3 +125,24 @@ def test_bigtiff_roundtrip(tmp_path, rng):
     with open(p, "rb") as fh:
         header = fh.read(4)
     assert header[2] == 43  # BigTIFF version
+
+
+def test_pure_python_codec_fallback(tmp_path, rng, monkeypatch):
+    """With the native library unavailable, the pure-Python LZW paths must
+    round-trip identically."""
+    from rs_image_segmentation_tpu.io import native
+    monkeypatch.setattr(native, "available", lambda: False)
+    a = rng.integers(0, 255, (2, 40, 50)).astype(np.uint8)
+    p = str(tmp_path / "py.tif")
+    write_tiff(p, a, compression="lzw")
+    b, _ = read_tiff(p)
+    assert np.array_equal(a, b)
+
+
+def test_deflate_cross_decode_pil(tmp_path, rng):
+    PIL = pytest.importorskip("PIL.Image")
+    img = rng.integers(0, 255, (70, 83), dtype=np.uint8)
+    p = str(tmp_path / "defl.tif")
+    PIL.fromarray(img).save(p, compression="tiff_adobe_deflate")
+    arr, info = read_tiff(p)
+    assert np.array_equal(arr[0], img)

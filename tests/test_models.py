@@ -1,5 +1,7 @@
 """PCA / KMeans / forest vs sklearn oracles."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,3 +148,25 @@ def test_own_trainer_tiny_sample(rng):
     forest, depth = F.fit_random_forest(x, y, n_estimators=100, seed=42)
     pred = np.asarray(F.forest_predict(forest, jnp.asarray(x), depth, chunk=64))
     assert (pred == y).mean() == 1.0  # unpruned RF memorizes its train set
+
+
+def test_train_or_load_forest_cache(tmp_path, rng):
+    """Model cache semantics: reload on hit, retrain on feature-count
+    mismatch (reference 3_classification.py:459-475)."""
+    import joblib
+    from rs_image_segmentation_tpu.pipeline.classify import (
+        train_or_load_forest)
+    x = rng.random((60, 6)).astype(np.float32)
+    y = rng.integers(1, 3, 60)
+    path = str(tmp_path / "rf.joblib")
+    f1, d1 = train_or_load_forest(x, y, path)
+    assert os.path.exists(path)
+    mtime = os.path.getmtime(path)
+    f2, d2 = train_or_load_forest(x, y, path)  # cache hit, no retrain
+    assert os.path.getmtime(path) == mtime
+    # mismatched feature count -> retrain
+    x9 = rng.random((60, 9)).astype(np.float32)
+    f3, d3 = train_or_load_forest(x9, y, path)
+    clf = joblib.load(path)
+    assert clf.n_features_in_ == 9
+
