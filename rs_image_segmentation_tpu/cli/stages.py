@@ -35,7 +35,9 @@ def stage2(argv=None) -> None:
     args = p.parse_args(argv)
     from rs_image_segmentation_tpu.pipeline.features import (
         run_feature_extraction_stage)
-    run_feature_extraction_stage(args.input, args.output_dir, vis=not args.no_vis)
+    run_feature_extraction_stage(args.input, args.output_dir,
+                                 vis=not args.no_vis,
+                                 include_entropy=not args.no_entropy)
     print(f"stage 2 done -> {args.output_dir}")
 
 

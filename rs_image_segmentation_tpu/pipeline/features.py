@@ -220,6 +220,7 @@ def run_feature_extraction_stage(
     output_dir: str,
     cfg: FeatureStageConfig = FeatureStageConfig(),
     vis: bool = True,
+    include_entropy: bool = True,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
     """Host orchestration matching scripts/2_feature_extraction.py __main__
     (:137-408): read the preprocessed GeoTIFF (NoData -> NaN), run the fused
@@ -231,7 +232,8 @@ def run_feature_extraction_stage(
     data = arr.astype(np.float32)
     if info.meta.nodata is not None:
         data[data == info.meta.nodata] = np.nan
-    feats, hier = extract_features(jnp.asarray(np.nan_to_num(data)), cfg)
+    feats, hier = extract_features(jnp.asarray(np.nan_to_num(data)), cfg,
+                                   include_entropy=include_entropy)
     feats_np = jax.tree_util.tree_map(np.asarray, feats)
     hier_np = {k: np.asarray(v) for k, v in hier.items()}
 
