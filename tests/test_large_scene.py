@@ -109,3 +109,19 @@ def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
     got = np.asarray(sharded_classify_scene(pre, gf, mesh, cfg))
     agreement = (ref == got).mean()
     assert agreement > 0.995, agreement
+
+
+def test_kmeans_large_scene(rng, aa_scene):
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        kmeans_large_scene)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :126, :126])
+    labels = kmeans_large_scene(pre, n_clusters=5,
+                                cfg=FeatureStageConfig(), tile_rows=63,
+                                fit_fraction=0.5)
+    assert labels.shape == (126, 126)
+    assert labels.min() >= 1 and labels.max() <= 5
+    assert len(np.unique(labels)) >= 3  # real structure, not one blob
