@@ -120,3 +120,68 @@ def test_extract_features_five_bands(rng):
     feats, hier = extract_features(b, cfg)
     assert hier["all"].shape == (48, 48, 19)
     assert feats["pca_result"].shape[0] == 5
+
+
+def test_extract_features_with_gabor(rng):
+    from rs_image_segmentation_tpu.core.config import (FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.pipeline.features import extract_features
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=16, step_size=16,
+                                             levels=8), include_gabor=True)
+    b = jnp.asarray(rng.integers(0, 255, (7, 48, 48)).astype(np.float32))
+    feats, hier = extract_features(b, cfg)
+    assert len(feats["gabor_features"]) == 24
+    assert hier["all"].shape == (48, 48, 19)
+
+
+def test_preprocess_bands_warp_path(rng):
+    """Non-identity GCP matrix exercises the f32 warp fallback."""
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
+    cal = CalibrationConfig()
+    arr = rng.integers(0, 256, (7, 40, 40)).astype(np.uint8)
+    out = np.asarray(preprocess_bands(arr, np.asarray(cal.gains),
+                                      np.asarray(cal.biases),
+                                      matrix=(1.0, 0.0, 2.0, 0.0, 1.0, -3.0)))
+    assert out.shape == (7, 40, 40)
+    assert out.dtype == np.uint8
+    # a pure translation shifts content: compare interior
+    ident = np.asarray(preprocess_bands(arr, np.asarray(cal.gains),
+                                        np.asarray(cal.biases)))
+    # warped output row r maps from source row r+3 approx (translation -3 in y)
+    assert not np.array_equal(out, ident)
+
+
+def test_composed_2d_mesh_scenes_by_tiles(rng):
+    """2-D (data x tile) mesh: scenes sharded over 'data', rows over 'tile'
+    — composed DP + spatial parallelism in one program."""
+    import functools
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rs_image_segmentation_tpu.ops.stencil import box_filter
+    from rs_image_segmentation_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((2, 4), axis_names=("data", "tile"))
+    scenes = jnp.asarray(rng.standard_normal((2, 3, 32, 16)).astype(np.float32))
+    n = 4
+    halo = 2
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P("data", None, "tile", None),),
+                       out_specs=P("data", None, "tile", None))
+    def run(shard):  # (1, 3, 8, 16) per device
+        idx = jax.lax.axis_index("tile")
+        fwd = [(i, (i + 1) % n) for i in range(n)]
+        bwd = [(i, (i - 1) % n) for i in range(n)]
+        top = jax.lax.ppermute(shard[..., -halo:, :], "tile", fwd)
+        bot = jax.lax.ppermute(shard[..., :halo, :], "tile", bwd)
+        top = jnp.where(idx == 0, shard[..., 1:halo + 1, :][..., ::-1, :], top)
+        bot = jnp.where(idx == n - 1,
+                        shard[..., -halo - 1:-1, :][..., ::-1, :], bot)
+        padded = jnp.concatenate([top, shard, bot], axis=-2)
+        return box_filter(padded, 5)[..., halo:-halo, :]
+
+    dev = jax.device_put(scenes, NamedSharding(mesh, P("data", None, "tile",
+                                                       None)))
+    out = np.asarray(run(dev))
+    ref = np.asarray(box_filter(scenes, 5))
+    assert np.abs(out - ref).max() < 1e-5
