@@ -189,7 +189,11 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def packbits_decode(data: bytes) -> bytes:
+def packbits_decode(data: bytes, expected_size: Optional[int] = None) -> bytes:
+    if expected_size is not None and _native.available():
+        decoded = _native.packbits_decode(data, expected_size)
+        if decoded is not None:
+            return decoded
     out = bytearray()
     i = 0
     n = len(data)
@@ -394,7 +398,7 @@ def _decompress(chunk: bytes, comp: int, expected: int) -> bytes:
     if comp in (COMP_DEFLATE, COMP_DEFLATE_ADOBE):
         return zlib.decompress(chunk)
     if comp == COMP_PACKBITS:
-        return packbits_decode(chunk)
+        return packbits_decode(chunk, expected)
     raise ValueError(f"unsupported compression {comp}")
 
 
@@ -671,7 +675,7 @@ def write_tiff(
             return zlib.compress(raw, 6)
         return raw
 
-    blocks: List[bytes] = []
+    raw_blocks: List[np.ndarray] = []
     w = _Writer(big=bigtiff)
     w.add(T_IMAGE_WIDTH, 4, width)
     w.add(T_IMAGE_LENGTH, 4, height)
@@ -702,7 +706,7 @@ def write_tiff(
                         h = min(th, height - ys)
                         ww = min(tw, width - xs)
                         tile[:h, :ww, 0] = arr_le[p, ys:ys + h, xs:xs + ww]
-                        blocks.append(compress_block(tile))
+                        raw_blocks.append(tile)
         else:
             pix = np.moveaxis(arr_le, 0, 2)  # (H, W, C)
             for ty in range(tiles_y):
@@ -712,7 +716,7 @@ def write_tiff(
                     h = min(th, height - ys)
                     ww = min(tw, width - xs)
                     tile[:h, :ww, :] = pix[ys:ys + h, xs:xs + ww, :]
-                    blocks.append(compress_block(tile))
+                    raw_blocks.append(tile)
         off_tag, cnt_tag = T_TILE_OFFSETS, T_TILE_BYTE_COUNTS
     else:
         # strips of ~64 KiB
@@ -725,14 +729,24 @@ def write_tiff(
                 for s in range(nstrips):
                     ys = s * rps
                     h = min(rps, height - ys)
-                    blocks.append(compress_block(arr_le[p, ys:ys + h, :][:, :, None]))
+                    raw_blocks.append(arr_le[p, ys:ys + h, :][:, :, None])
         else:
             pix = np.moveaxis(arr_le, 0, 2)
             for s in range(nstrips):
                 ys = s * rps
                 h = min(rps, height - ys)
-                blocks.append(compress_block(pix[ys:ys + h]))
+                raw_blocks.append(pix[ys:ys + h])
         off_tag, cnt_tag = T_STRIP_OFFSETS, T_STRIP_BYTE_COUNTS
+
+    # compress blocks — in a thread pool when the native codec is in play
+    # (ctypes calls release the GIL, so strips/tiles encode in parallel)
+    if comp != COMP_NONE and len(raw_blocks) >= 4 and _native.available():
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, _os.cpu_count() or 1)) as ex:
+            blocks = list(ex.map(compress_block, raw_blocks))
+    else:
+        blocks = [compress_block(b) for b in raw_blocks]
 
     # geo tags
     if meta is not None and meta.transform is not None:

@@ -375,6 +375,11 @@ def run_classification_stage(feature_file_path: str, method: str = "rule_based",
     else:
         raise ValueError(f"unsupported method {method!r}")
 
+    from rs_image_segmentation_tpu.pipeline.visualize import (
+        visualize_combined_indices)
+    visualize_combined_indices(
+        features, os.path.join(output_dir, "combined_indices.png"))
+
     map_path = os.path.join(output_dir, f"{method}_classification_map.png")
     create_classification_map(result, tables.names_dict(),
                               tables.colors_dict(), map_path, title)

@@ -286,7 +286,8 @@ def visualize_features(feats: Dict, hier: Dict, output_dir: str) -> None:
         plt.close(fig)
 
     for key, fname in (("level_1", "level_1_features.png"),
-                       ("level_2", "level_2_features.png")):
+                       ("level_2", "level_2_features.png"),
+                       ("all", "combined_features.png")):
         stack = np.asarray(hier[key])
         n = stack.shape[-1]
         cols = min(n, 7)
