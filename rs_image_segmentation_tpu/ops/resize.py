@@ -49,6 +49,29 @@ def resize_nearest(img: jnp.ndarray, out_shape: Tuple[int, int]) -> jnp.ndarray:
     return img[..., ry, :][..., :, rx]
 
 
+def estimate_affine_from_gcps(gcps) -> np.ndarray:
+    """Least-squares 2x3 affine from ground control points.
+
+    ``gcps`` is a sequence of ((src_x, src_y), (dst_x, dst_y)) pairs. The
+    reference's geometric_correction accepts GCPs but ignores them
+    (preprocessing.py:76-99, 'simplified'); this completes the machinery:
+    the returned matrix maps src -> dst and plugs into
+    :func:`warp_affine_bilinear`.
+    """
+    gcps = list(gcps)
+    if len(gcps) < 3:
+        raise ValueError("at least 3 GCPs are required for an affine fit")
+    a = np.zeros((2 * len(gcps), 6), np.float64)
+    b = np.zeros(2 * len(gcps), np.float64)
+    for i, ((sx, sy), (dx, dy)) in enumerate(gcps):
+        a[2 * i] = [sx, sy, 1.0, 0.0, 0.0, 0.0]
+        a[2 * i + 1] = [0.0, 0.0, 0.0, sx, sy, 1.0]
+        b[2 * i] = dx
+        b[2 * i + 1] = dy
+    coef, *_ = np.linalg.lstsq(a, b, rcond=None)
+    return coef.reshape(2, 3)
+
+
 def warp_affine_bilinear(img: jnp.ndarray, matrix, out_shape=None,
                          border_value: float = 0.0) -> jnp.ndarray:
     """cv2.warpAffine(INTER_LINEAR, BORDER_CONSTANT) equivalent for a

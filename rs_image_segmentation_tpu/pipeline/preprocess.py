@@ -93,14 +93,23 @@ def preprocess_bands(bands, gains, biases,
 def run_preprocessing_stage(input_path: str, output_path: str,
                             vis_dir: Optional[str] = None,
                             config: CalibrationConfig = CalibrationConfig(),
-                            gcp_matrix: Optional[Sequence[float]] = None
-                            ) -> Raster:
+                            gcp_matrix: Optional[Sequence[float]] = None,
+                            gcps=None) -> Raster:
     """Load -> preprocess on device -> persist Float32 GeoTIFF (+ optional
-    false-color before/after PNG), matching the reference stage-1 contract."""
+    false-color before/after PNG), matching the reference stage-1 contract.
+
+    ``gcps``: optional ((src_x, src_y), (dst_x, dst_y)) pairs; when given,
+    the affine warp is least-squares-fit from them (the reference accepts
+    GCPs but ignores them — preprocessing.py:76-99)."""
+    from rs_image_segmentation_tpu.ops.resize import estimate_affine_from_gcps
     arr, info = read_tiff(input_path)
     bands = jnp.asarray(arr)
-    matrix = tuple(gcp_matrix) if gcp_matrix is not None else (
-        1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+    if gcps is not None:
+        matrix = tuple(estimate_affine_from_gcps(gcps).reshape(-1))
+    elif gcp_matrix is not None:
+        matrix = tuple(gcp_matrix)
+    else:
+        matrix = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
     out = preprocess_bands(bands, np.asarray(config.gains),
                            np.asarray(config.biases),
                            matrix=matrix)

@@ -135,3 +135,16 @@ def test_glcm_overlapping_windows(rng):
     assert w16.shape == (16, 16, 16)
     assert int(w16[1, 0, 0]) == 8  # second window starts at col 8
     assert int(w16[4, 0, 0]) == 8 * 40  # second row of windows starts at row 8
+
+
+def test_estimate_affine_from_gcps(rng):
+    from rs_image_segmentation_tpu.ops.resize import estimate_affine_from_gcps
+    true = np.array([[0.95, 0.05, 3.0], [-0.02, 1.03, -1.5]])
+    src = rng.uniform(0, 100, (12, 2))
+    dst = (true[:, :2] @ src.T).T + true[:, 2]
+    m = estimate_affine_from_gcps(list(zip(src, dst)))
+    assert np.abs(m - true).max() < 1e-9
+    # with noise, least squares still recovers closely
+    dst_n = dst + rng.normal(0, 0.05, dst.shape)
+    m2 = estimate_affine_from_gcps(list(zip(src, dst_n)))
+    assert np.abs(m2 - true).max() < 0.05

@@ -309,3 +309,19 @@ def test_batch_workflow_on_mesh(tmp_path, rng):
     assert len(out) == 8
     for e in out:
         assert os.path.exists(e["class_map"])
+
+
+def test_evaluator_roi_resize_path(tmp_path, rng):
+    """Shape-mismatched ROI is nearest-resized (reference 4_evaluate.py:76-80)."""
+    from rs_image_segmentation_tpu.pipeline.evaluate import (
+        ClassificationEvaluator)
+    cls = rng.integers(1, 4, (60, 60)).astype(np.int64)
+    roi_small = np.zeros((30, 30), np.int16)
+    roi_small[::5, ::5] = rng.integers(1, 4, roi_small[::5, ::5].shape)
+    cpath = str(tmp_path / "c.npy"); np.save(cpath, cls)
+    rpath = str(tmp_path / "r.npy"); np.save(rpath, roi_small)
+    ev = ClassificationEvaluator()
+    m = ev.evaluate_classification(cpath, rpath, str(tmp_path / "out"),
+                                   map_clusters=False)
+    assert 0.0 <= m["overall_accuracy"] <= 1.0
+    assert os.path.exists(str(tmp_path / "out" / "evaluation_report.txt"))
