@@ -146,3 +146,27 @@ def test_deflate_cross_decode_pil(tmp_path, rng):
     PIL.fromarray(img).save(p, compression="tiff_adobe_deflate")
     arr, info = read_tiff(p)
     assert np.array_equal(arr[0], img)
+
+
+def test_read_rejects_non_tiff(tmp_path):
+    p = str(tmp_path / "x.tif")
+    with open(p, "wb") as f:
+        f.write(b"NOTATIFF" * 4)
+    with pytest.raises(ValueError):
+        read_tiff(p)
+
+
+def test_corrupt_lzw_raises(tmp_path, rng):
+    a = rng.integers(0, 255, (1, 64, 64)).astype(np.uint8)
+    p = str(tmp_path / "c.tif")
+    write_tiff(p, a, compression="lzw")
+    data = bytearray(open(p, "rb").read())
+    # flip bytes inside the (single) strip payload near the end
+    data[-40:-20] = bytes(20)
+    open(p, "wb").write(bytes(data))
+    try:
+        arr, _ = read_tiff(p)
+        # decode may still succeed structurally; data must differ
+        assert not np.array_equal(arr, a)
+    except ValueError:
+        pass  # corrupt-stream rejection is equally acceptable
