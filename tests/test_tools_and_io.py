@@ -325,3 +325,46 @@ def test_evaluator_roi_resize_path(tmp_path, rng):
                                    map_clusters=False)
     assert 0.0 <= m["overall_accuracy"] <= 1.0
     assert os.path.exists(str(tmp_path / "out" / "evaluation_report.txt"))
+
+
+# --- remaining aux API surface ---------------------------------------------
+
+def test_features_aux_surface(rng):
+    from rs_image_segmentation_tpu.ops.features_aux import (
+        evaluate_feature_importance_for_classes,
+        feature_fusion_for_segmentation, hierarchical_feature_fusion,
+        prepare_features_for_segmentation)
+    h = w = 12
+    feats = {k: rng.random((h, w)).astype(np.float32)
+             for k in ["ndwi", "mndwi", "ndvi", "evi", "ndbi", "bsi"]}
+    fused = np.asarray(hierarchical_feature_fusion(feats))
+    assert fused.shape == (h, w, 6)
+    stacked = np.asarray(prepare_features_for_segmentation(
+        feats, ["ndvi", "ndwi", "missing"]))
+    assert stacked.shape == (h, w, 2)
+    ws = np.asarray(feature_fusion_for_segmentation(
+        [feats["ndvi"], feats["ndwi"]], weights=[0.7, 0.3]))
+    assert ws.shape == (h, w)
+    cat = np.asarray(feature_fusion_for_segmentation(
+        [feats["ndvi"], feats["ndwi"]], method="concat"))
+    assert cat.shape == (h, w, 2)
+    labels = np.zeros((h, w), np.int64)
+    labels[:, : w // 2] = 1
+    labels[:, w // 2:] = 2
+    imp = evaluate_feature_importance_for_classes(fused, labels,
+                                                  n_estimators=5)
+    assert imp.shape == (6,)
+    assert abs(imp.sum() - 1.0) < 1e-6
+
+
+def test_stage_timer_and_trace():
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.utils.timing import StageTimer, device_trace
+    t = StageTimer()
+    x = jnp.ones((4, 4))
+    with t.stage("op", sync=x):
+        y = x * 2
+    rep = t.report()
+    assert "op" in rep and "total" in rep
+    with device_trace(None):
+        pass  # no-op path
