@@ -431,271 +431,3 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
         out[y0:y0 + rows] = np.asarray(
             classify_tile(tile, y0, y0 - ys, rows))
     return out
-
-
-def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
-                       cfg: FeatureStageConfig = FeatureStageConfig(),
-                       tile_rows: int = 504, seed: int = 42,
-                       fit_fraction: float = 0.1,
-                       max_fit_pixels: int = 2_000_000) -> np.ndarray:
-    """Unsupervised classification of an arbitrarily large preprocessed
-    scene: global MinMax bounds and centroids are fit on a deterministic
-    pixel subsample (standard practice for out-of-core KMeans), then every
-    tile is assigned against the fixed centroids. Labels are 1-based like
-    stage 3 (reference 3_classification.py:393). Memory stays bounded:
-    tiles are recomputed in the assignment pass rather than cached."""
-    from rs_image_segmentation_tpu.models.kmeans import (kmeans_fit_predict,
-                                                         lloyd_step)
-
-    c, h, w = arr.shape
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows)
-
-    def tiles():
-        for y0 in range(0, h, tile_rows):
-            rows = min(tile_rows, h - y0)
-            ys = max(0, y0 - HALO)
-            ye = min(h, y0 + rows + HALO)
-            tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-            yield y0, rows, stack_tile(tile, y0, y0 - ys, rows)
-
-    # pass 1: global MinMax bounds + deterministic subsample
-    rng = np.random.default_rng(seed)
-    n_fit = min(max_fit_pixels, int(h * w * fit_fraction) or h * w)
-    per_tile = max(1, n_fit // max(1, -(-h // tile_rows)))
-    mins = None
-    maxs = None
-    samples = []
-    for y0, rows, stack in tiles():
-        flat = np.asarray(stack).reshape(-1, stack.shape[-1])
-        t_min = flat.min(axis=0)
-        t_max = flat.max(axis=0)
-        mins = t_min if mins is None else np.minimum(mins, t_min)
-        maxs = t_max if maxs is None else np.maximum(maxs, t_max)
-        idx = rng.choice(flat.shape[0], size=min(per_tile, flat.shape[0]),
-                         replace=False)
-        samples.append(flat[idx])
-
-    rngv = maxs - mins
-    rngv[rngv <= 0] = 1.0
-    fit = (np.concatenate(samples) - mins) / rngv
-    _, state = kmeans_fit_predict(jnp.asarray(fit.astype(np.float32)),
-                                  n_clusters, seed=seed)
-    cents = state.centroids
-    mins_d = jnp.asarray(mins.astype(np.float32))
-    rng_d = jnp.asarray(rngv.astype(np.float32))
-
-    @jax.jit
-    def assign(flat):
-        xs = (flat - mins_d) / rng_d
-        _, labels, _ = lloyd_step(xs, cents)
-        return labels
-
-    out = np.zeros((h, w), np.int32)
-    for y0, rows, stack in tiles():
-        flat = stack.reshape(-1, stack.shape[-1])
-        out[y0:y0 + rows] = np.asarray(assign(flat)).reshape(rows, w) + 1
-    return out
-
-
-def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
-                   tile_rows: int):
-    """Shared pass A-C machinery producing a jitted per-tile 19-channel
-    stack function over global statistics."""
-    step = cfg.glcm.step_size
-    if tile_rows % step:
-        raise ValueError(f"tile_rows must be a multiple of {step}")
-    c, h, w = arr.shape
-    stats = compute_global_stats(arr, cfg)
-    _fit_global_pca(arr, stats, tile_rows)
-
-    n_i = (h - cfg.glcm.window_size) // step + 1
-    n_j = (w - cfg.glcm.window_size) // step + 1
-    contrast_grid = np.zeros((n_i, n_j), np.float32)
-    homog_grid = np.zeros((n_i, n_j), np.float32)
-    p_lo = jnp.asarray(stats.p_lo)
-    p_hi = jnp.asarray(stats.p_hi)
-    tex_lo = np.float32(stats.tex_lo)
-    tex_hi = np.float32(stats.tex_hi)
-    tb = cfg.texture_band_index
-
-    @jax.jit
-    def tex_tile(tile):
-        nir = _normalize_tile(tile, p_lo, p_hi)[tb]
-        return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
-
-    for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
-        rows = min(tile_rows, h - y0)
-        grid_rows = (rows - cfg.glcm.window_size) // step + 1
-        if grid_rows <= 0:
-            continue
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, y0:y0 + rows, :]))
-        con, hom = _tile_glcm_grid(tex_tile(tile), cfg.glcm.levels,
-                                   cfg.glcm.window_size, step,
-                                   cfg.glcm.angles)
-        gi = y0 // step
-        contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
-        homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
-
-    @jax.jit
-    def tile_sobel_max(tile):
-        u8 = (tex_tile(tile) * 255.0).astype(jnp.uint8)
-        return jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
-
-    sobel_max = 0.0
-    for y0 in range(0, h, tile_rows):
-        ys = max(0, y0 - 1)
-        ye = min(h, y0 + tile_rows + 1)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-        sobel_max = max(sobel_max, float(tile_sobel_max(tile)))
-    stats.sobel_max = sobel_max
-
-    con_g = jnp.asarray(contrast_grid)
-    hom_g = jnp.asarray(homog_grid)
-    comp1 = jnp.asarray(stats.pca_comp1)
-    mean = jnp.asarray(stats.pca_mean)
-    med = jnp.asarray(stats.median)
-    iqr = jnp.asarray(stats.iqr)
-    smax = jnp.asarray(sobel_max + 1e-10, jnp.float32)
-
-    @functools.partial(jax.jit, static_argnames=("rows",))
-    def stack_tile(tile, row0, lo, rows: int):
-        bands01 = _normalize_tile(tile, p_lo, p_hi)
-        idx = spectral_indices(bands01)
-        xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
-        pc1 = jnp.einsum("chw,c->hw", xs - mean[:, None, None], comp1,
-                         precision=jax.lax.Precision.HIGHEST)
-        nir = bands01[tb]
-        tex = (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
-        u8 = (tex * 255.0).astype(jnp.uint8)
-        grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
-        mean5 = box_filter(tex, 5)
-        std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
-        smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / smax
-        level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
-                             idx["evi"], idx["ndbi"], idx["bsi"], pc1],
-                            axis=-1)
-        ctx = jnp.moveaxis(box_filter(jnp.moveaxis(level_1, -1, 0), 7,
-                                      border="reflect"), 0, -1)
-        glcm_con = _resize_rows(con_g, (h, w), row0, rows)
-        glcm_hom = _resize_rows(hom_g, (h, w), row0, rows)
-
-        def crop(x):
-            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=0)
-
-        return jnp.concatenate([
-            crop(level_1), crop(ctx),
-            jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
-                       crop(smag)], axis=-1)], axis=-1)
-
-    return stack_tile, stats
-
-
-def classify_large_scene(arr: np.ndarray, gf: GemmForest,
-                         cfg: FeatureStageConfig = FeatureStageConfig(),
-                         tile_rows: int = 504) -> np.ndarray:
-    """Classify a PREPROCESSED (7, H, W) uint8-valued scene of any size in
-    row tiles. ``tile_rows`` must be a multiple of the GLCM step so texture
-    windows align with the global window grid."""
-    step = cfg.glcm.step_size
-    if tile_rows % step:
-        raise ValueError(f"tile_rows must be a multiple of {step}")
-    c, h, w = arr.shape
-
-    stats = compute_global_stats(arr, cfg)          # pass A
-    _fit_global_pca(arr, stats, tile_rows)          # pass B
-
-    # pass C: global GLCM grid + sobel max
-    n_i = (h - cfg.glcm.window_size) // step + 1
-    n_j = (w - cfg.glcm.window_size) // step + 1
-    contrast_grid = np.zeros((n_i, n_j), np.float32)
-    homog_grid = np.zeros((n_i, n_j), np.float32)
-    p_lo = jnp.asarray(stats.p_lo)
-    p_hi = jnp.asarray(stats.p_hi)
-    tex_lo = np.float32(stats.tex_lo)
-    tex_hi = np.float32(stats.tex_hi)
-    tb = cfg.texture_band_index
-
-    @jax.jit
-    def tex_tile(tile):
-        nir = _normalize_tile(tile, p_lo, p_hi)[tb]
-        return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
-
-    for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
-        rows = min(tile_rows, h - y0)
-        grid_rows = (rows - cfg.glcm.window_size) // step + 1
-        if grid_rows <= 0:
-            continue
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, y0:y0 + rows, :]))
-        con, hom = _tile_glcm_grid(tex_tile(tile), cfg.glcm.levels,
-                                   cfg.glcm.window_size, step,
-                                   cfg.glcm.angles)
-        gi = y0 // step
-        contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
-        homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
-
-    @jax.jit
-    def tile_sobel_max(tile):
-        u8 = (tex_tile(tile) * 255.0).astype(jnp.uint8)
-        return jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
-
-    sobel_max = 0.0
-    for y0 in range(0, h, tile_rows):
-        ys = max(0, y0 - 1)
-        ye = min(h, y0 + tile_rows + 1)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-        sobel_max = max(sobel_max, float(tile_sobel_max(tile)))
-    stats.sobel_max = sobel_max
-
-    # pass D: stack + predict per tile
-    out = np.zeros((h, w), np.int32)
-    con_g = jnp.asarray(contrast_grid)
-    hom_g = jnp.asarray(homog_grid)
-    comp1 = jnp.asarray(stats.pca_comp1)
-    mean = jnp.asarray(stats.pca_mean)
-    med = jnp.asarray(stats.median)
-    iqr = jnp.asarray(stats.iqr)
-    smax = jnp.asarray(sobel_max + 1e-10, jnp.float32)
-    chunk = _gemm_chunk(gf.path.shape[1])
-
-    @functools.partial(jax.jit, static_argnames=("rows",))
-    def classify_tile(tile, row0, lo, rows: int):
-        # row0 / lo are traced scalars so middle tiles share one executable
-        bands01 = _normalize_tile(tile, p_lo, p_hi)
-        idx = spectral_indices(bands01)
-        xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
-        pc1 = jnp.einsum("chw,c->hw", xs - mean[:, None, None], comp1,
-                         precision=jax.lax.Precision.HIGHEST)
-        nir = bands01[tb]
-        tex = (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
-        u8 = (tex * 255.0).astype(jnp.uint8)
-        grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
-        mean5 = box_filter(tex, 5)
-        std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
-        smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / smax
-        level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
-                             idx["evi"], idx["ndbi"], idx["bsi"], pc1],
-                            axis=-1)
-        ctx = jnp.moveaxis(box_filter(jnp.moveaxis(level_1, -1, 0), 7,
-                                      border="reflect"), 0, -1)
-        glcm_con = _resize_rows(con_g, (h, w), row0, rows)
-        glcm_hom = _resize_rows(hom_g, (h, w), row0, rows)
-
-        def crop(x):
-            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=0)
-
-        stack = jnp.concatenate([
-            crop(level_1), crop(ctx),
-            jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
-                       crop(smag)], axis=-1)], axis=-1)
-        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
-                                   chunk)
-        return pred.reshape(rows, w)
-
-    for y0 in range(0, h, tile_rows):
-        rows = min(tile_rows, h - y0)
-        ys = max(0, y0 - HALO)
-        ye = min(h, y0 + rows + HALO)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-        out[y0:y0 + rows] = np.asarray(
-            classify_tile(tile, y0, y0 - ys, rows))
-    return out
