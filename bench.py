@@ -1,16 +1,24 @@
 #!/usr/bin/env python3
-"""Benchmark: end-to-end scene classification throughput on the device.
+"""Benchmark: sustained end-to-end scene-classification throughput.
 
-Pipeline measured (steady state, post-compile, host->device included):
-  uint8 scene -> preprocess (calibrate/warp/stretch) -> full 19-channel
-  feature stack (indices, PCA, GLCM, LBP, multi-scale+entropy, morphology,
-  filters, spatial context) -> random-forest predict over every pixel.
+Measures BASELINE.json config #5 (multi-scene batch): batches of 8 TM
+scenes ship host->device as ONE transfer and classify in ONE device
+program (uint8 scenes -> exact-LUT preprocess -> full 19-channel feature
+stack incl. GLCM/LBP/entropy -> random-forest GEMM over every pixel),
+with several batches kept in flight so transfers, host LUT prep, and
+device compute overlap. This is the deployment shape: the per-RPC
+latency of this environment's device tunnel is paid once per 8 scenes
+instead of once per scene.
 
-Accuracy gate: Kappa vs the bundled ROI must stay within 0.5% of the
-sklearn-based reference replay (BASELINE.md: OA 0.970 / Kappa 0.953).
+Accuracy gates (both must pass or the process exits 2):
+  - Kappa vs the bundled 33-px ROI within 0.5% of the sklearn replay
+    (BASELINE.md: OA 0.970 / Kappa 0.953).
+  - >= 99.9% full-scene agreement with the bundled output/class_map.npy
+    (360k px produced by the reference's sklearn pipeline).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": <sustained MP/s>, "unit": "MP/s",
+   "vs_baseline": ..., ...}
 vs_baseline compares against the reference CPU throughput of 0.058 MP/s
 (BASELINE.md "end-to-end excl. GLCM/LBP/entropy" — conservative: our
 pipeline INCLUDES those stages).
@@ -29,6 +37,21 @@ BASELINE_MP_PER_S = 0.058
 SCENE = "/root/reference/data/raw/AA.tif"
 SAMPLES = "/root/reference/data/samples.pkl"
 ROI = "/root/reference/output/ROI/roi_mask.npy"
+CLASS_MAP = "/root/reference/output/class_map.npy"
+
+BATCH = 8      # scenes per device program (BASELINE config #5)
+ROUNDS = 5     # timed batches in the sustained stream
+
+
+def _kappa(y_true, y_pred):
+    labels = sorted(set(np.unique(y_true)) | set(np.unique(y_pred)))
+    idx = {l: i for i, l in enumerate(labels)}
+    cm = np.zeros((len(labels), len(labels)), np.float64)
+    for t, p in zip(y_true, y_pred):
+        cm[idx[t], idx[p]] += 1
+    oa = float(np.trace(cm) / cm.sum())
+    pe = float((cm.sum(0) * cm.sum(1)).sum() / cm.sum() ** 2)
+    return oa, (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
 
 
 def main() -> None:
@@ -40,13 +63,15 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                       FeatureStageConfig)
     from rs_image_segmentation_tpu.io.tiff import read_tiff
-    from rs_image_segmentation_tpu.models.forest import (
-        _gemm_chunk, _gemm_for, gemm_forest_predict)
+    from rs_image_segmentation_tpu.models.forest import _gemm_for
     from rs_image_segmentation_tpu.pipeline.features import (
         hierarchical_stack_fused)
-    from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_lut, preprocess_bands)
+    from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
     from rs_image_segmentation_tpu.tools.supervised import (
         train_random_forest_from_samples)
     from rs_image_segmentation_tpu.tools.sampling import SampleSet
@@ -57,95 +82,102 @@ def main() -> None:
     cal = CalibrationConfig()
     gains = np.asarray(cal.gains)
     biases = np.asarray(cal.biases)
+    cfg = FeatureStageConfig()
 
-    from rs_image_segmentation_tpu.pipeline.preprocess import _apply_lut
-
-    def features_for(bands_np):
-        # H2D happens inside (the exact-LUT preprocess ships the scene)
-        pre = preprocess_bands(bands_np, gains, biases)
-        return hierarchical_stack_fused(pre.astype(jnp.float32))
-
-    # train once (host-side fit on the 33 bundled samples)
-    stack0 = np.asarray(features_for(arr))
+    # train once (host-side fit on the 33 bundled samples, exact-LUT stack)
+    pre0 = preprocess_bands(arr, gains, biases)
+    stack0 = np.asarray(hierarchical_stack_fused(pre0.astype(jnp.float32)))
     coords, labels = SampleSet.load(SAMPLES)
     x_train = np.nan_to_num(stack0[coords[:, 1], coords[:, 0], :])
     forest, depth = train_random_forest_from_samples(x_train, labels)
     gf = _gemm_for(forest, stack0.shape[-1])
-    chunk = _gemm_chunk(gf.path.shape[1])
 
-    def _build_lut(bands_np):
-        # exact f64 per-DN preprocess table (see pipeline.preprocess)
-        c = bands_np.shape[0]
-        dn = np.arange(256, dtype=np.float64)
-        lut = np.zeros((c, 256), np.float32)
-        for i in range(c):
-            cal_v = gains[i] * dn + biases[i]
-            present = np.bincount(bands_np[i].reshape(-1),
-                                  minlength=256) > 0
-            mn, mx = cal_v[present].min(), cal_v[present].max()
-            lut[i] = ((cal_v - mn) * 255.0 / (mx - mn)).astype(np.uint8)
-        return lut
+    def run_batch(scenes_np):
+        # full e2e per batch: host LUT build (exact f64 stretch tables,
+        # ~0.3 ms/scene) + one H2D + ONE device program for all 8 scenes
+        # (pipeline.turbo: channel-major, sort-free, gather-free)
+        luts = np.stack([build_stretch_lut(s, gains, biases)
+                         for s in scenes_np]).astype(np.uint8)
+        return classify_scenes_turbo(jax.device_put(scenes_np),
+                                     jax.device_put(luts), gf, cfg)
 
-    @jax.jit
-    def _classify_dev(scene_u8, lut):
-        # ONE device program: LUT preprocess -> 19ch stack -> forest GEMM
-        pre = _apply_lut(scene_u8, lut)
-        stack = hierarchical_stack_fused(pre.astype(jnp.float32))
-        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
-                                   chunk)
-        return pred.reshape(h, w)
+    def classify_one(scene_np):
+        lut = build_stretch_lut(scene_np, gains, biases).astype(np.uint8)
+        return classify_scenes_turbo(jax.device_put(scene_np[None]),
+                                     jax.device_put(lut[None]), gf, cfg)[0]
 
-    def classify(bands_np):
-        # full e2e: host LUT build + H2D + a single device dispatch
-        return _classify_dev(bands_np, _build_lut(bands_np))
+    def sync(o):
+        # On this environment's remote device tunnel, block_until_ready
+        # returns BEFORE execution finishes (verified: a 1-TFLOP matmul
+        # "blocks" in 0.03 ms); only a real D2H forces completion. Programs
+        # execute in launch order on the single stream, so fetching one
+        # element of an output proves everything enqueued before it ran.
+        np.asarray(jax.device_get(o.ravel()[-1:]))
 
-    # warmup/compile
-    out = classify(arr)
-    out.block_until_ready()
+    # distinct buffers so every round pays its own H2D
+    batches = [np.ascontiguousarray(
+        np.broadcast_to(arr, (BATCH,) + arr.shape)).copy()
+        for _ in range(ROUNDS)]
 
-    # steady-state measurement: best of N (the RPC tunnel to the device in
-    # this environment adds erratic multi-x latency noise; the minimum is
-    # the reproducible sustained-throughput figure, standard practice for
-    # microbenchmarks on noisy transports)
-    iters = 12
+    # warmup / compile
+    out = run_batch(batches[0])
+    sync(out)
+    sync(classify_one(arr))
+
+    # --- sustained stream: all ROUNDS batches in flight ------------------
+    t0 = time.perf_counter()
+    outs = [run_batch(b) for b in batches]
+    for o in outs:
+        sync(o)
+    dt_stream = time.perf_counter() - t0
+    sustained = ROUNDS * BATCH * mp / dt_stream
+
+    # --- per-batch blocking rounds (min + median) -------------------------
     times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = classify(arr)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.min(times))
-    mp_per_s = mp / dt
+    for b in batches:
+        t1 = time.perf_counter()
+        sync(run_batch(b))
+        times.append((time.perf_counter() - t1) / BATCH)
+    batch_min = float(np.min(times))
+    batch_med = float(np.median(times))
 
-    # accuracy gate (host numpy — no extra device programs)
-    class_map = np.asarray(out)
+    # --- single-scene blocking latency ------------------------------------
+    lat = []
+    for _ in range(6):
+        t1 = time.perf_counter()
+        sync(classify_one(arr))
+        lat.append(time.perf_counter() - t1)
+
+    # --- accuracy gates ----------------------------------------------------
+    class_map = np.asarray(outs[0][0])
     roi = np.load(ROI)
     valid = roi > 0
-    y_true = roi[valid].astype(np.int64)
-    y_pred = class_map[valid].astype(np.int64)
-    labels = sorted(set(np.unique(y_true)) | set(np.unique(y_pred)))
-    idx = {l: i for i, l in enumerate(labels)}
-    cm = np.zeros((len(labels), len(labels)), np.float64)
-    for t, p in zip(y_true, y_pred):
-        cm[idx[t], idx[p]] += 1
-    oa = float(np.trace(cm) / cm.sum())
-    pe = float((cm.sum(0) * cm.sum(1)).sum() / cm.sum() ** 2)
-    kappa = (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+    oa, kappa = _kappa(roi[valid].astype(np.int64),
+                       class_map[valid].astype(np.int64))
+    agreement = float((class_map == np.load(CLASS_MAP)).mean())
+    gate_ok = (kappa >= 0.953 - 0.005) and (agreement >= 0.999)
 
     result = {
-        "metric": "e2e scene classification (preprocess+19ch features+RF)",
-        "value": round(mp_per_s, 3),
+        "metric": "sustained e2e scene classification "
+                  "(preprocess+19ch features+RF, 8-scene batches)",
+        "value": round(sustained, 3),
         "unit": "MP/s",
-        "vs_baseline": round(mp_per_s / BASELINE_MP_PER_S, 2),
-        "seconds_per_scene": round(dt, 5),
+        "vs_baseline": round(sustained / BASELINE_MP_PER_S, 2),
+        "seconds_per_scene_sustained": round(dt_stream / (ROUNDS * BATCH), 5),
+        "seconds_per_scene_batched_min": round(batch_min, 5),
+        "seconds_per_scene_batched_median": round(batch_med, 5),
+        "seconds_per_scene_single_min": round(float(np.min(lat)), 5),
+        "seconds_per_scene_single_median": round(float(np.median(lat)), 5),
         "oa": round(oa, 4),
         "kappa": round(kappa, 4),
         "kappa_baseline": 0.953,
+        "fullscene_agreement": round(agreement, 5),
+        "gate_ok": gate_ok,
     }
     print(json.dumps(result), flush=True)
     # skip jax/runtime teardown: the device tunnel in this environment can
     # hang atexit handlers for minutes after the result is already printed
-    os._exit(0)
+    os._exit(0 if gate_ok else 2)
 
 
 if __name__ == "__main__":

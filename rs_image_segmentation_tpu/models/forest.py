@@ -268,11 +268,13 @@ def _gemm_for(forest: FlatForest, n_features: int) -> Optional[GemmForest]:
         return None
     key = (id(forest.feature), n_features)
     if key in _GEMM_CACHE:
-        return _GEMM_CACHE[key]
+        return _GEMM_CACHE[key][1]
     gf = forest_to_gemm(forest, n_features)
     if gf.path.shape[1] > GEMM_MAX_LEAVES:
         gf = None
-    _GEMM_CACHE[key] = gf
+    # keep a strong reference to the keyed buffer: id() of a collected
+    # array can be recycled, which would silently serve the wrong forest
+    _GEMM_CACHE[key] = (forest.feature, gf)
     return gf
 
 

@@ -1,0 +1,242 @@
+"""Deployment-shape fused classifier: channel-major, sort-free, gather-free.
+
+The standard stage graphs (``pipeline.features`` / ``pipeline.classify``)
+mirror the reference's artifact contract: HWC feature stacks, per-family
+device programs, percentile ops over raw pixels. Those shapes are exactly
+what a TPU dislikes:
+
+  * (H, W, 19) f32 stacks put 19 in the lane (minor) dimension, which the
+    TPU pads to 128 — a 6.7x memory/bandwidth tax on every materialization
+    (measured: the final HWC assembly dominated the fused stack's runtime).
+  * ``jnp.percentile`` sorts 360k pixels per band.
+  * 256-entry LUT application via gather lowers to an XLA gather that runs
+    at <100 MB/s on TPU (measured 17-27 ms/scene).
+
+This module keeps the entire classification program in the TPU's preferred
+shapes, exploiting the stage-1 contract that scenes are uint8-valued
+(preprocessing.py:101-125 stretches to 0..255):
+
+  * LUT application is an exact one-hot @ table matmul on the MXU: the
+    one-hot and a u8-valued table are both exactly representable in bf16,
+    so the gather-equivalent result is bit-exact at ~15x the gather speed.
+  * Every percentile (robust-normalize p2/p98, RobustScaler median/IQR,
+    the texture re-normalize) is computed from a 256-bin histogram
+    (eq-reduce, no sort, no scatter) with np.percentile's linear
+    interpolation — the same histogram trick ``pipeline.large_scene`` uses
+    on the host (pass A), here fused into the device program.
+  * All imagery stays (C, H, W) channel-major; the 19-channel stack is
+    never interleaved into HWC. The forest GEMM (models/forest.py) runs
+    transposed — sel^T @ X, path^T @ S, dist^T @ F over (19, pixels)
+    column blocks — so no layout change ever materializes.
+
+Numerics: identical formulas to the standard path; only summation orders
+differ (histogram-weighted vs sorted-pairwise percentile interpolation at
+f32), so feature values match to ~1e-6 and class maps to >99.9 %
+(tested against the standard path and the bundled reference artifacts).
+
+Reference call sites covered: scripts/2_feature_extraction.py:27-133,
+modules/features/indices.py:25-246,760-865, extract.py:690-719.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_image_segmentation_tpu.core.config import FeatureStageConfig
+from rs_image_segmentation_tpu.models.forest import GemmForest
+from rs_image_segmentation_tpu.ops.indices import spectral_indices
+from rs_image_segmentation_tpu.ops.morphology import gradient
+from rs_image_segmentation_tpu.ops.stencil import box_filter, sobel_magnitude
+from rs_image_segmentation_tpu.ops.texture import glcm_feature_maps
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# ------------------------------------------------------------ primitives
+
+def apply_u8_lut_mxu(planes_u8: jnp.ndarray, lut_u8: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """Exact (C, H, W) uint8 -> uint8 LUT application as a one-hot matmul.
+
+    Integers 0..255 and {0,1} indicators are exact in bf16, and the f32
+    accumulation of a single non-zero product is exact, so this equals the
+    gather bit-for-bit while running on the MXU (~15x faster than XLA's
+    TPU gather lowering for this shape)."""
+    c, h, w = planes_u8.shape
+    oh = (planes_u8.reshape(c, -1)[:, :, None]
+          == jnp.arange(256, dtype=planes_u8.dtype)).astype(jnp.bfloat16)
+    out = jnp.einsum("cnk,ck->cn", oh, lut_u8.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return out.astype(jnp.uint8).reshape(c, h, w)
+
+
+def histogram256(planes_u8: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) uint8 -> (C, 256) f32 counts via eq-reduce (no scatter)."""
+    c = planes_u8.shape[0]
+    flat = planes_u8.reshape(c, 1, -1)
+    levels = jnp.arange(256, dtype=planes_u8.dtype).reshape(1, 256, 1)
+    return jnp.sum((flat == levels).astype(jnp.float32), axis=2)
+
+
+def percentiles_from_counts(counts: jnp.ndarray, values: jnp.ndarray,
+                            qs: Sequence[float], n: int) -> jnp.ndarray:
+    """np.percentile(method='linear') over per-band value multisets.
+
+    counts: (C, 256) occurrence counts; values: (C, 256) ASCENDING values
+    per band; qs: static percentiles; n: static total count. Returns
+    (len(qs), C). Interpolation form matches ops.normalize.percentile
+    (v_lo*(1-frac) + v_hi*frac)."""
+    cum = jnp.cumsum(counts, axis=1)
+    out = []
+    for q in qs:
+        pos = q / 100.0 * (n - 1)
+        lo = math.floor(pos)
+        hi = math.ceil(pos)
+        frac = np.float32(pos - lo)
+        idx_lo = jnp.sum((cum < lo + 1).astype(jnp.int32), axis=1)
+        idx_hi = jnp.sum((cum < hi + 1).astype(jnp.int32), axis=1)
+        v_lo = jnp.take_along_axis(values, idx_lo[:, None], axis=1)[:, 0]
+        v_hi = jnp.take_along_axis(values, idx_hi[:, None], axis=1)[:, 0]
+        out.append(v_lo * (1.0 - frac) + v_hi * frac)
+    return jnp.stack(out)
+
+
+# ------------------------------------------------------- feature stack
+
+def _stack_cm_from_stretched(stretched_u8: jnp.ndarray,
+                             cfg: FeatureStageConfig) -> jnp.ndarray:
+    """(7, H, W) stretched-uint8 scene -> (19, H, W) hierarchical stack,
+    channel-major, no sorts/gathers. Channel order identical to
+    ``pipeline.features.hierarchical_stack_fused`` (reference
+    indices.py:808-865,760-776)."""
+    c, h, w = stretched_u8.shape
+    n = h * w
+    eps = cfg.normalize.epsilon
+    levels = jnp.arange(256, dtype=jnp.float32)
+
+    hist = histogram256(stretched_u8)                      # (7, 256)
+    vals = jnp.broadcast_to(levels, (c, 256))
+    p = percentiles_from_counts(hist, vals,
+                                (cfg.normalize.lower_percentile,
+                                 cfg.normalize.upper_percentile), n)
+    lo, hi = p[0][:, None, None], p[1][:, None, None]
+    x = stretched_u8.astype(jnp.float32)
+    bands01 = (jnp.clip(x, lo, hi) - lo) / (hi - lo + eps)
+    # per-level normalized values (for histogram-space stats downstream)
+    norm_vals = ((jnp.clip(vals, p[0][:, None], p[1][:, None])
+                  - p[0][:, None])
+                 / (p[1][:, None] - p[0][:, None] + eps))   # (7, 256)
+
+    idx = spectral_indices(bands01)
+
+    # --- PCA: RobustScaler stats from the histogram, Gram on the MXU ----
+    q = percentiles_from_counts(hist, norm_vals, (25.0, 50.0, 75.0), n)
+    iqr = q[2] - q[0]
+    scale = jnp.where(iqr > 0, iqr, 1.0)
+    xs = (bands01 - q[1][:, None, None]) / scale[:, None, None]
+    xs_vals = (norm_vals - q[1][:, None]) / scale[:, None]
+    mean = jnp.sum(hist * xs_vals, axis=1) / n              # (7,)
+    xc = xs - mean[:, None, None]
+    flat = xc.reshape(c, -1)
+    cov = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                  precision=_HIGH) / (n - 1)
+    eigvals, eigvecs = jnp.linalg.eigh(cov)
+    comp0 = eigvecs[:, jnp.argmax(eigvals)]
+    sign = jnp.sign(comp0[jnp.argmax(jnp.abs(comp0))])
+    comp0 = comp0 * jnp.where(sign == 0, 1.0, sign)         # svd_flip
+    pc1 = jnp.einsum("c,chw->hw", comp0, xc, precision=_HIGH)
+
+    # --- texture branch (NIR; reference hardcodes it, 2_feature:84) ------
+    tb = cfg.texture_band_index
+    tq = percentiles_from_counts(hist[tb:tb + 1], norm_vals[tb:tb + 1],
+                                 (cfg.normalize.lower_percentile,
+                                  cfg.normalize.upper_percentile), n)
+    tlo, thi = tq[0, 0], tq[1, 0]
+    tex01 = (jnp.clip(bands01[tb], tlo, thi) - tlo) / (thi - tlo + eps)
+
+    glcm = glcm_feature_maps(tex01, cfg.glcm.levels, cfg.glcm.window_size,
+                             cfg.glcm.step_size, cfg.glcm.distances,
+                             cfg.glcm.angles)
+    u8t = (tex01 * 255.0).astype(jnp.uint8)
+    grad5 = gradient(u8t, 5).astype(jnp.float32) / 255.0
+    mean5 = box_filter(tex01, 5)
+    std5 = jnp.sqrt(jnp.maximum(box_filter(tex01 * tex01, 5)
+                                - mean5 * mean5, 0.0))
+    smag = sobel_magnitude(u8t.astype(jnp.float32)) / 255.0
+    smag = smag / (jnp.max(smag) + 1e-10)
+
+    level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"], idx["evi"],
+                         idx["ndbi"], idx["bsi"], pc1])     # (7, H, W)
+    ctx = box_filter(level_1, cfg.context.window_size, border="reflect")
+    level_2 = jnp.stack([glcm["contrast"], glcm["homogeneity"], grad5,
+                         std5, smag])                       # (5, H, W)
+    return jnp.concatenate([level_1, ctx, level_2])         # (19, H, W)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def hierarchical_stack_turbo_cm(scene_u8: jnp.ndarray,
+                                stretch_lut_u8: jnp.ndarray,
+                                cfg: FeatureStageConfig = FeatureStageConfig()
+                                ) -> jnp.ndarray:
+    """(7, H, W) RAW uint8 scene + (7, 256) exact stretch LUT (see
+    ``pipeline.preprocess.build_stretch_lut``) -> (19, H, W) stack."""
+    stretched = apply_u8_lut_mxu(scene_u8, stretch_lut_u8)
+    return _stack_cm_from_stretched(stretched, cfg)
+
+
+# ------------------------------------------------- transposed forest GEMM
+
+def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
+                   chunk: int = 32768) -> jnp.ndarray:
+    """Forest predict over channel-major features: (F, N) -> (N,) labels.
+
+    Same three-matmul chain as ``models.forest._gemm_block_proba`` but
+    transposed, so the pixel axis stays in lanes and the (*, F=19) operand
+    never materializes. Bit-matches the row-major GEMM (tested)."""
+    f, n = x_cm.shape
+    pad = (-n) % chunk
+    xp = jnp.pad(x_cm, ((0, 0), (0, pad)))
+    blocks = jnp.moveaxis(xp.reshape(f, -1, chunk), 1, 0)   # (nb, F, chunk)
+    sel_t = gf.selector.astype(jnp.float32).T               # (M, F)
+    path_t = gf.path.T                                      # (L, M) bf16
+    dist_t = gf.leaf_dist.T                                 # (C, L)
+
+    def one(xb):
+        xv = jnp.dot(sel_t, xb.astype(jnp.float32),
+                     preferred_element_type=jnp.float32, precision=_HIGH)
+        s = jnp.where(xv <= gf.thresholds[:, None], 1.0, -1.0
+                      ).astype(jnp.bfloat16)
+        votes = jnp.dot(path_t, s, preferred_element_type=jnp.float32)
+        fired = (votes == gf.path_len[:, None]).astype(jnp.float32)
+        total = jnp.dot(dist_t, fired, preferred_element_type=jnp.float32,
+                        precision=_HIGH) * gf.inv_trees
+        return gf.classes[jnp.argmax(total, axis=0)]
+
+    out = jax.lax.map(one, blocks)
+    return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------- full program
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
+def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
+                          gf: GemmForest,
+                          cfg: FeatureStageConfig = FeatureStageConfig(),
+                          chunk: int = 32768) -> jnp.ndarray:
+    """ONE device program: (B, 7, H, W) raw uint8 scenes + (B, 7, 256)
+    stretch LUTs -> (B, H, W) uint8 class maps. Preprocess, 19-channel
+    feature extraction, and forest inference fused, channel-major
+    throughout."""
+    b, c, h, w = scenes_u8.shape
+    stacks = jax.vmap(
+        lambda s, l: _stack_cm_from_stretched(apply_u8_lut_mxu(s, l), cfg)
+    )(scenes_u8, stretch_luts_u8)                           # (B, 19, H, W)
+    x_cm = jnp.moveaxis(stacks, 1, 0).reshape(19, -1)       # (19, B*H*W)
+    labels = gemm_labels_cm(gf, x_cm, chunk)
+    return labels.reshape(b, h, w).astype(jnp.uint8)

@@ -1,0 +1,102 @@
+"""pipeline.turbo (channel-major sort-free classifier) vs the standard path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                   FeatureStageConfig)
+from rs_image_segmentation_tpu.models.forest import (_gemm_chunk, _gemm_for,
+                                                     fit_random_forest,
+                                                     gemm_forest_predict)
+from rs_image_segmentation_tpu.pipeline.features import hierarchical_stack_fused
+from rs_image_segmentation_tpu.pipeline.preprocess import (build_stretch_lut,
+                                                           preprocess_bands)
+from rs_image_segmentation_tpu.pipeline.turbo import (
+    apply_u8_lut_mxu, classify_scenes_turbo, gemm_labels_cm,
+    hierarchical_stack_turbo_cm, histogram256, percentiles_from_counts)
+
+
+def test_apply_u8_lut_mxu_exact(rng):
+    planes = rng.integers(0, 256, (7, 33, 47)).astype(np.uint8)
+    lut = rng.integers(0, 256, (7, 256)).astype(np.uint8)
+    ref = np.stack([lut[i][planes[i]] for i in range(7)])
+    got = np.asarray(apply_u8_lut_mxu(jnp.asarray(planes), jnp.asarray(lut)))
+    assert np.array_equal(ref, got)
+
+
+def test_histogram256(rng):
+    planes = rng.integers(0, 256, (3, 50, 60)).astype(np.uint8)
+    got = np.asarray(histogram256(jnp.asarray(planes)))
+    ref = np.stack([np.bincount(p.ravel(), minlength=256) for p in planes])
+    assert np.array_equal(ref, got.astype(np.int64))
+
+
+def test_percentiles_from_counts_matches_numpy(rng):
+    vals = rng.integers(0, 256, (2, 4000)).astype(np.uint8)
+    counts = np.stack([np.bincount(v, minlength=256) for v in vals])
+    values = np.broadcast_to(np.arange(256, dtype=np.float32), (2, 256))
+    qs = (2.0, 25.0, 50.0, 75.0, 98.0)
+    got = np.asarray(percentiles_from_counts(
+        jnp.asarray(counts.astype(np.float32)), jnp.asarray(values.copy()),
+        qs, 4000))
+    for qi, q in enumerate(qs):
+        for c in range(2):
+            ref = np.percentile(vals[c].astype(np.float64), q)
+            assert abs(got[qi, c] - ref) < 1e-3, (q, c)
+
+
+def test_gemm_labels_cm_bitmatch_rowmajor(rng):
+    x = rng.random((5000, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 5000)
+    forest, depth = fit_random_forest(x[:200], y[:200], n_estimators=20,
+                                      seed=0)
+    gf = _gemm_for(forest, 19)
+    row = np.asarray(gemm_forest_predict(gf, jnp.asarray(x),
+                                         _gemm_chunk(gf.path.shape[1])))
+    cm = np.asarray(gemm_labels_cm(gf, jnp.asarray(x.T), chunk=1024))
+    assert np.array_equal(row, cm)
+
+
+def test_turbo_stack_matches_fused(rng, aa_scene):
+    arr, _ = aa_scene
+    arr = np.ascontiguousarray(arr[:, :252, :252])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    cfg = FeatureStageConfig()
+    slut = build_stretch_lut(arr, gains, biases).astype(np.uint8)
+
+    pre = preprocess_bands(arr, gains, biases)
+    std = np.asarray(hierarchical_stack_fused(pre.astype(jnp.float32), cfg))
+    turbo = np.asarray(hierarchical_stack_turbo_cm(
+        jnp.asarray(arr), jnp.asarray(slut), cfg))
+    assert np.abs(std - np.moveaxis(turbo, 0, -1)).max() < 1e-4
+
+
+def test_turbo_classify_agrees_with_standard(rng, aa_scene):
+    arr, _ = aa_scene
+    arr = np.ascontiguousarray(arr[:, :252, :252])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    cfg = FeatureStageConfig()
+
+    pre = preprocess_bands(arr, gains, biases)
+    stack = np.asarray(hierarchical_stack_fused(pre.astype(jnp.float32), cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    ref = np.asarray(gemm_forest_predict(
+        gf, jnp.asarray(stack.reshape(-1, 19)),
+        _gemm_chunk(gf.path.shape[1]))).reshape(252, 252)
+
+    slut = build_stretch_lut(arr, gains, biases).astype(np.uint8)
+    # 2-scene batch exercises the vmap + batched GEMM path
+    scenes = np.stack([arr, arr])
+    luts = np.stack([slut, slut])
+    got = np.asarray(classify_scenes_turbo(
+        jnp.asarray(scenes), jnp.asarray(luts), gf, cfg))
+    assert got.shape == (2, 252, 252)
+    assert np.array_equal(got[0], got[1])
+    agreement = (got[0] == ref).mean()
+    assert agreement > 0.999, agreement
