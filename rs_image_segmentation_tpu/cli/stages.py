@@ -73,13 +73,17 @@ def classify_large(argv=None) -> None:
                    help="joblib/npz forest to load instead of training")
     p.add_argument("--output", default="output/class_map_large.tif")
     p.add_argument("--tile-rows", type=int, default=504)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="persist per-tile progress here; a re-run resumes "
+                        "from the last completed tile")
     args = p.parse_args(argv)
 
     import numpy as np
     from rs_image_segmentation_tpu.io.tiff import read_tiff, write_tiff
     from rs_image_segmentation_tpu.models.forest import _gemm_for
     from rs_image_segmentation_tpu.pipeline.large_scene import (
-        classify_large_scene, preprocess_large)
+        classify_large_scene, classify_large_scene_resumable,
+        preprocess_large)
 
     arr, info = read_tiff(args.scene)
     if args.raw:
@@ -109,7 +113,11 @@ def classify_large(argv=None) -> None:
         forest, depth = train_random_forest_from_samples(x, y)
 
     gf = _gemm_for(forest, 19)
-    result = classify_large_scene(arr, gf, tile_rows=args.tile_rows)
+    if args.checkpoint_dir:
+        result = classify_large_scene_resumable(
+            arr, gf, args.checkpoint_dir, tile_rows=args.tile_rows)
+    else:
+        result = classify_large_scene(arr, gf, tile_rows=args.tile_rows)
     import os
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     write_tiff(args.output, result.astype(np.uint8)[None], info.meta,

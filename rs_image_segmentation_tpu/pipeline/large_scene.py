@@ -30,7 +30,7 @@ the stretch only needs the global per-band DN min/max.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -312,10 +312,10 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
     return out
 
 
-def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
-                   tile_rows: int):
-    """Shared pass A-C machinery producing a jitted per-tile 19-channel
-    stack function over global statistics."""
+def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
+                   tile_rows: int) -> dict:
+    """Passes A-C as a dict of plain numpy arrays — checkpointable, so a
+    resumed run skips them (SURVEY §5 failure-detection row)."""
     step = cfg.glcm.step_size
     if tile_rows % step:
         raise ValueError(f"tile_rows must be a multiple of {step}")
@@ -362,15 +362,34 @@ def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
         ye = min(h, y0 + tile_rows + 1)
         tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
         sobel_max = max(sobel_max, float(tile_sobel_max(tile)))
-    stats.sobel_max = sobel_max
 
-    con_g = jnp.asarray(contrast_grid)
-    hom_g = jnp.asarray(homog_grid)
-    comp1 = jnp.asarray(stats.pca_comp1)
-    mean = jnp.asarray(stats.pca_mean)
-    med = jnp.asarray(stats.median)
-    iqr = jnp.asarray(stats.iqr)
-    smax = jnp.asarray(sobel_max + 1e-10, jnp.float32)
+    return {"p_lo": stats.p_lo, "p_hi": stats.p_hi, "median": stats.median,
+            "iqr": stats.iqr, "tex_lo": np.float32(stats.tex_lo),
+            "tex_hi": np.float32(stats.tex_hi), "pca_mean": stats.pca_mean,
+            "pca_comp1": stats.pca_comp1,
+            "sobel_max": np.float32(sobel_max),
+            "contrast_grid": contrast_grid, "homog_grid": homog_grid}
+
+
+def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
+                   tile_rows: int, globals_dict: Optional[dict] = None):
+    """Jitted per-tile 19-channel stack function over the pass A-C global
+    statistics (computed here unless a checkpointed dict is supplied)."""
+    c, h, w = arr.shape
+    g = globals_dict if globals_dict is not None else _global_passes(
+        arr, cfg, tile_rows)
+    tb = cfg.texture_band_index
+    p_lo = jnp.asarray(g["p_lo"])
+    p_hi = jnp.asarray(g["p_hi"])
+    tex_lo = np.float32(g["tex_lo"])
+    tex_hi = np.float32(g["tex_hi"])
+    con_g = jnp.asarray(g["contrast_grid"])
+    hom_g = jnp.asarray(g["homog_grid"])
+    comp1 = jnp.asarray(g["pca_comp1"])
+    mean = jnp.asarray(g["pca_mean"])
+    med = jnp.asarray(g["median"])
+    iqr = jnp.asarray(g["iqr"])
+    smax = jnp.asarray(float(g["sobel_max"]) + 1e-10, jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("rows",))
     def stack_tile(tile, row0, lo, rows: int):
@@ -402,7 +421,7 @@ def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
             jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
                        crop(smag)], axis=-1)], axis=-1)
 
-    return stack_tile, stats
+    return stack_tile, g
 
 
 def classify_large_scene(arr: np.ndarray, gf: GemmForest,
@@ -431,3 +450,94 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
         out[y0:y0 + rows] = np.asarray(
             classify_tile(tile, y0, y0 - ys, rows))
     return out
+
+
+# ------------------------------------------------------- resumable runs
+
+class TileInterrupt(RuntimeError):
+    """Raised by the fault-injection hook (SURVEY §5: failure detection /
+    fault injection) after N tiles, to test crash-resume paths."""
+
+
+def classify_large_scene_resumable(
+        arr: np.ndarray, gf: GemmForest, checkpoint_dir: str,
+        cfg: FeatureStageConfig = FeatureStageConfig(),
+        tile_rows: int = 504,
+        interrupt_after: Optional[int] = None) -> np.ndarray:
+    """``classify_large_scene`` with a resumable tile cursor.
+
+    Checkpoints to ``checkpoint_dir``:
+      * ``globals.npz``   — the pass A-C statistics (computed once);
+      * ``partial.npy``   — the output label map, flushed per tile (memmap);
+      * ``manifest.json`` — tile geometry + the set of completed tile rows,
+        written atomically (tmp + rename) after every tile.
+
+    A restarted run with the same arguments skips the global passes and
+    every completed tile, producing a map bit-identical to an uninterrupted
+    run (tiles are independent given the globals). ``interrupt_after=N``
+    raises :class:`TileInterrupt` after N newly-computed tiles — the
+    fault-injection hook the resume test uses. Reference analog: per-stage
+    artifact persistence + model cache (3_classification.py:459-475)."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    gpath = os.path.join(checkpoint_dir, "globals.npz")
+    ppath = os.path.join(checkpoint_dir, "partial.npy")
+    mpath = os.path.join(checkpoint_dir, "manifest.json")
+    c, h, w = arr.shape
+
+    if os.path.exists(gpath):
+        with np.load(gpath) as z:
+            globals_dict = {k: z[k] for k in z.files}
+    else:
+        globals_dict = _global_passes(arr, cfg, tile_rows)
+        tmp = gpath + ".tmp.npz"
+        np.savez(tmp, **globals_dict)
+        os.replace(tmp, gpath)
+
+    manifest = {"shape": [h, w], "tile_rows": tile_rows, "done": []}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            saved = json.load(f)
+        if (saved.get("shape") == [h, w]
+                and saved.get("tile_rows") == tile_rows):
+            manifest = saved
+
+    if os.path.exists(ppath):
+        out = np.lib.format.open_memmap(ppath, mode="r+")
+    else:
+        out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
+                                        shape=(h, w))
+
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, globals_dict)
+    chunk = _gemm_chunk(gf.path.shape[1])
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def classify_tile(tile, row0, lo, rows: int):
+        stack = stack_tile(tile, row0, lo, rows)
+        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
+                                   chunk)
+        return pred.reshape(rows, w)
+
+    done = set(manifest["done"])
+    fresh = 0
+    for y0 in range(0, h, tile_rows):
+        if y0 in done:
+            continue
+        if interrupt_after is not None and fresh >= interrupt_after:
+            raise TileInterrupt(f"injected fault after {fresh} tiles")
+        rows = min(tile_rows, h - y0)
+        ys = max(0, y0 - HALO)
+        ye = min(h, y0 + rows + HALO)
+        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
+        out[y0:y0 + rows] = np.asarray(classify_tile(tile, y0, y0 - ys, rows))
+        out.flush()
+        done.add(y0)
+        manifest["done"] = sorted(done)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mpath)
+        fresh += 1
+    return np.asarray(out)

@@ -125,3 +125,44 @@ def test_kmeans_large_scene(rng, aa_scene):
     assert labels.shape == (126, 126)
     assert labels.min() >= 1 and labels.max() <= 5
     assert len(np.unique(labels)) >= 3  # real structure, not one blob
+
+
+def test_resumable_classify_survives_crash(rng, aa_scene, tmp_path):
+    """Fault-inject after 2 tiles; the resumed run must be bit-identical to
+    an uninterrupted run (VERDICT r1 #6 / SURVEY §5 failure detection)."""
+    import pytest
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        TileInterrupt, classify_large_scene_resumable)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252])
+
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+
+    ref = classify_large_scene(pre, gf, cfg, tile_rows=63)  # 4 tiles
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(TileInterrupt):
+        classify_large_scene_resumable(pre, gf, ckpt, cfg, tile_rows=63,
+                                       interrupt_after=2)
+    import json, os
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["done"]) == 2  # crashed mid-run, progress persisted
+
+    resumed = classify_large_scene_resumable(pre, gf, ckpt, cfg,
+                                             tile_rows=63)
+    assert np.array_equal(resumed, ref)
+
+    # idempotent: a third run recomputes nothing and returns the same map
+    again = classify_large_scene_resumable(pre, gf, ckpt, cfg, tile_rows=63)
+    assert np.array_equal(again, ref)
