@@ -285,6 +285,18 @@ def visualize_features(feats: Dict, hier: Dict, output_dir: str) -> None:
         fig.savefig(os.path.join(output_dir, "feature_pca.png"), dpi=120)
         plt.close(fig)
 
+        # the reference also emits the variance bar as its OWN file
+        # (scripts/2_feature_extraction.py:377-381)
+        fig, ax = plt.subplots(figsize=(8, 5))
+        ax.bar(np.arange(1, len(vr) + 1), vr)
+        ax.set_title("PCA explained variance ratio")
+        ax.set_xlabel("component")
+        ax.set_ylabel("ratio")
+        fig.tight_layout()
+        fig.savefig(os.path.join(output_dir, "pca_variance_explained.png"),
+                    dpi=120)
+        plt.close(fig)
+
     for key, fname in (("level_1", "level_1_features.png"),
                        ("level_2", "level_2_features.png"),
                        ("all", "combined_features.png")):
