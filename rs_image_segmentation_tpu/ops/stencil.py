@@ -85,15 +85,21 @@ def _axis_shift_add(x: jnp.ndarray, k: np.ndarray, axis: int,
         xp = pad2d(x, (0, 0), pads, border)
     xp = xp.astype(jnp.float32)
     kf = np.asarray(k, np.float32)
-    acc = None
+    terms = []
     for i in range(n):
         wgt = float(kf[i])
         if wgt == 0.0:
             continue
         tap = jax.lax.slice_in_dim(xp, i, i + out_len, axis=axis)
-        term = tap if wgt == 1.0 else tap * wgt
-        acc = term if acc is None else acc + term
-    return acc
+        terms.append(tap if wgt == 1.0 else tap * wgt)
+    # pairwise tree sum: sequential accumulation of 15+ taps drifts up to
+    # 2 LSB from cv2's fixed-point result; the tree keeps it within 1
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
 
 
 def _sep_conv(x: jnp.ndarray, kv: np.ndarray, kh: np.ndarray,

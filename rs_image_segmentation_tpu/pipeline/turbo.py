@@ -58,6 +58,13 @@ from rs_image_segmentation_tpu.ops.texture import glcm_feature_maps
 _HIGH = jax.lax.Precision.HIGHEST
 
 
+def _mm_dtype():
+    """bf16 on the MXU; f32 elsewhere (XLA:CPU's DotThunk rejects
+    bf16 x bf16 -> f32 for some shapes). Both are exact for the 0/1 and
+    integer-valued operands used here."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 # ------------------------------------------------------------ primitives
 
 def apply_u8_lut_mxu(planes_u8: jnp.ndarray, lut_u8: jnp.ndarray
@@ -69,9 +76,10 @@ def apply_u8_lut_mxu(planes_u8: jnp.ndarray, lut_u8: jnp.ndarray
     gather bit-for-bit while running on the MXU (~15x faster than XLA's
     TPU gather lowering for this shape)."""
     c, h, w = planes_u8.shape
+    dt = _mm_dtype()
     oh = (planes_u8.reshape(c, -1)[:, :, None]
-          == jnp.arange(256, dtype=planes_u8.dtype)).astype(jnp.bfloat16)
-    out = jnp.einsum("cnk,ck->cn", oh, lut_u8.astype(jnp.bfloat16),
+          == jnp.arange(256, dtype=planes_u8.dtype)).astype(dt)
+    out = jnp.einsum("cnk,ck->cn", oh, lut_u8.astype(dt),
                      preferred_element_type=jnp.float32)
     return out.astype(jnp.uint8).reshape(c, h, w)
 
@@ -203,15 +211,16 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
     pad = (-n) % chunk
     xp = jnp.pad(x_cm, ((0, 0), (0, pad)))
     blocks = jnp.moveaxis(xp.reshape(f, -1, chunk), 1, 0)   # (nb, F, chunk)
+    dt = _mm_dtype()
     sel_t = gf.selector.astype(jnp.float32).T               # (M, F)
-    path_t = gf.path.T                                      # (L, M) bf16
+    path_t = gf.path.T.astype(dt)                           # (L, M)
     dist_t = gf.leaf_dist.T                                 # (C, L)
 
     def one(xb):
         xv = jnp.dot(sel_t, xb.astype(jnp.float32),
                      preferred_element_type=jnp.float32, precision=_HIGH)
         s = jnp.where(xv <= gf.thresholds[:, None], 1.0, -1.0
-                      ).astype(jnp.bfloat16)
+                      ).astype(dt)
         votes = jnp.dot(path_t, s, preferred_element_type=jnp.float32)
         fired = (votes == gf.path_len[:, None]).astype(jnp.float32)
         total = jnp.dot(dist_t, fired, preferred_element_type=jnp.float32,

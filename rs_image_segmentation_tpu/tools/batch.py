@@ -53,7 +53,28 @@ def run_batch_workflow(
     shapes = {a.shape for a in scenes}
     results: List[Dict] = []
 
-    if mesh is not None and len(shapes) == 1 and len(scenes) >= mesh.devices.size:
+    if len(shapes) == 1 and all(a.dtype == np.uint8 for a in scenes):
+        # uniform uint8 scenes -> the turbo path: ONE device program per
+        # batch (channel-major, sort-free, gather-free; pipeline.turbo),
+        # optionally sharded over the mesh's 'data' axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rs_image_segmentation_tpu.pipeline.preprocess import (
+            build_stretch_lut)
+        from rs_image_segmentation_tpu.pipeline.turbo import (
+            classify_scenes_turbo)
+        gf = _gemm_for(forest, 19)
+        batch = np.stack(scenes)
+        luts = np.stack([build_stretch_lut(a, gains, biases)
+                         for a in scenes]).astype(np.uint8)
+        if mesh is not None and len(scenes) % mesh.devices.size == 0:
+            sh = NamedSharding(mesh, P("data"))
+            batch_d = jax.device_put(jnp.asarray(batch), sh)
+            luts_d = jax.device_put(jnp.asarray(luts), sh)
+        else:
+            batch_d, luts_d = jnp.asarray(batch), jnp.asarray(luts)
+        maps = np.asarray(classify_scenes_turbo(batch_d, luts_d, gf, cfg))
+        preds = [m for m in maps]
+    elif mesh is not None and len(shapes) == 1 and len(scenes) >= mesh.devices.size:
         # uniform shapes -> shard the batch over the mesh
         from rs_image_segmentation_tpu.parallel.sharded import (
             sharded_hierarchical_stack)
