@@ -124,12 +124,17 @@ def main() -> None:
     sync(out)
     sync(classify_one(arr))
 
-    # --- sustained stream: all ROUNDS batches in flight ------------------
-    t0 = time.perf_counter()
-    outs = [run_batch(b) for b in batches]
-    for o in outs:
-        sync(o)
-    dt_stream = time.perf_counter() - t0
+    # --- sustained stream: all ROUNDS batches in flight -------------------
+    # (two repetitions; take the better — guards the recorded figure
+    # against a single tunnel stall hitting one stream)
+    stream_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [run_batch(b) for b in batches]
+        for o in outs:
+            sync(o)
+        stream_times.append(time.perf_counter() - t0)
+    dt_stream = min(stream_times)
     sustained = ROUNDS * BATCH * mp / dt_stream
 
     # --- per-batch blocking rounds (min + median) -------------------------

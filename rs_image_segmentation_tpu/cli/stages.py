@@ -140,3 +140,58 @@ def stage4(argv=None) -> None:
         map_clusters=not args.no_cluster_mapping)
     print(f"OA={metrics['overall_accuracy']:.4f} "
           f"Kappa={metrics['kappa']:.4f} -> {args.output_dir}")
+
+
+def batch_classify(argv=None) -> None:
+    """Multi-scene batch classification (BASELINE config #5): N scenes ->
+    GeoTIFF class map + optional Kappa report each, through the turbo
+    device program (uniform uint8 scenes) or the streaming fallback."""
+    p = argparse.ArgumentParser(
+        description="Batch scene classification (turbo path)")
+    p.add_argument("scenes", nargs="+", help="raw 7-band uint8 scene TIFFs")
+    p.add_argument("--samples", default="data/samples.pkl",
+                   help="point samples to train from (ignored with --model)")
+    p.add_argument("--model", default=None,
+                   help="joblib/npz forest to load instead of training")
+    p.add_argument("--rois", nargs="*", default=None,
+                   help="per-scene ROI .npy/.tif for Kappa reports")
+    p.add_argument("--output-dir", default="output/batch_results")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.io.tiff import read_tiff
+    from rs_image_segmentation_tpu.pipeline.features import (
+        hierarchical_stack_fused)
+    from rs_image_segmentation_tpu.pipeline.preprocess import preprocess_bands
+    from rs_image_segmentation_tpu.tools.batch import run_batch_workflow
+
+    if args.model and args.model.endswith(".npz"):
+        from rs_image_segmentation_tpu.models.serialize import load_flat_forest
+        forest, depth = load_flat_forest(args.model)
+    elif args.model:
+        import joblib
+        from rs_image_segmentation_tpu.models.forest import forest_from_sklearn
+        forest, depth = forest_from_sklearn(joblib.load(args.model))
+    else:
+        from rs_image_segmentation_tpu.tools.sampling import (
+            training_matrix_from_samples)
+        from rs_image_segmentation_tpu.tools.supervised import (
+            train_random_forest_from_samples)
+        cal = CalibrationConfig()
+        arr, _ = read_tiff(args.scenes[0])
+        pre = preprocess_bands(arr, np.asarray(cal.gains),
+                               np.asarray(cal.biases))
+        stack = np.asarray(hierarchical_stack_fused(pre.astype(jnp.float32)))
+        x, y = training_matrix_from_samples(args.samples, stack)
+        forest, depth = train_random_forest_from_samples(x, y)
+
+    results = run_batch_workflow(args.scenes, forest, depth,
+                                 args.output_dir, roi_paths=args.rois)
+    for r in results:
+        extra = (f"  OA={r['overall_accuracy']:.4f} Kappa={r['kappa']:.4f}"
+                 if "overall_accuracy" in r else "")
+        print(f"{r['scene']} -> {r['class_map']}{extra}")
+    print(f"batch classification: {len(results)} scene(s) -> "
+          f"{args.output_dir}")

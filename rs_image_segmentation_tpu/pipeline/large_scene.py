@@ -281,7 +281,7 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
     maxs = None
     samples = []
     for y0, rows, stack in tiles():
-        flat = np.asarray(stack).reshape(-1, stack.shape[-1])
+        flat = np.asarray(stack).reshape(stack.shape[0], -1).T
         t_min = flat.min(axis=0)
         t_max = flat.max(axis=0)
         mins = t_min if mins is None else np.minimum(mins, t_min)
@@ -307,7 +307,7 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
 
     out = np.zeros((h, w), np.int32)
     for y0, rows, stack in tiles():
-        flat = stack.reshape(-1, stack.shape[-1])
+        flat = jnp.reshape(stack, (stack.shape[0], -1)).T
         out[y0:y0 + rows] = np.asarray(assign(flat)).reshape(rows, w) + 1
     return out
 
@@ -393,6 +393,9 @@ def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
 
     @functools.partial(jax.jit, static_argnames=("rows",))
     def stack_tile(tile, row0, lo, rows: int):
+        """(7, rows+halo, w) tile -> (19, rows, w) CHANNEL-MAJOR stack.
+        (HWC would put 19 in the lane dim, which the TPU pads to 128 —
+        a 6.7x materialization tax; see pipeline.turbo.)"""
         bands01 = _normalize_tile(tile, p_lo, p_hi)
         idx = spectral_indices(bands01)
         xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
@@ -406,20 +409,18 @@ def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
         std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
         smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / smax
         level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
-                             idx["evi"], idx["ndbi"], idx["bsi"], pc1],
-                            axis=-1)
-        ctx = jnp.moveaxis(box_filter(jnp.moveaxis(level_1, -1, 0), 7,
-                                      border="reflect"), 0, -1)
+                             idx["evi"], idx["ndbi"], idx["bsi"], pc1])
+        ctx = box_filter(level_1, 7, border="reflect")
         glcm_con = _resize_rows(con_g, (h, w), row0, rows)
         glcm_hom = _resize_rows(hom_g, (h, w), row0, rows)
 
         def crop(x):
-            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=0)
+            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=x.ndim - 2)
 
         return jnp.concatenate([
             crop(level_1), crop(ctx),
             jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
-                       crop(smag)], axis=-1)], axis=-1)
+                       crop(smag)])])
 
     return stack_tile, g
 
@@ -436,9 +437,9 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
 
     @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
-        stack = stack_tile(tile, row0, lo, rows)
-        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
-                                   chunk)
+        from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+        stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
+        pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
         return pred.reshape(rows, w)
 
     out = np.zeros((h, w), np.int32)
@@ -515,9 +516,9 @@ def classify_large_scene_resumable(
 
     @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
-        stack = stack_tile(tile, row0, lo, rows)
-        pred = gemm_forest_predict(gf, stack.reshape(-1, stack.shape[-1]),
-                                   chunk)
+        from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+        stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
+        pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
         return pred.reshape(rows, w)
 
     done = set(manifest["done"])

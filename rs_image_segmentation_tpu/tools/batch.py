@@ -104,8 +104,15 @@ def run_batch_workflow(
             pending.append((pred, stack.shape[:2]))
         preds = [np.asarray(p).reshape(shp) for p, shp in pending]
 
+    seen_stems: Dict[str, int] = {}
     for i, (path, pred, meta) in enumerate(zip(scene_paths, preds, metas)):
         stem = os.path.splitext(os.path.basename(path))[0]
+        # disambiguate duplicate basenames (e.g. same-named scenes from
+        # different directories) so outputs never overwrite each other
+        n = seen_stems.get(stem, 0)
+        seen_stems[stem] = n + 1
+        if n:
+            stem = f"{stem}_{n}"
         out_tif = os.path.join(output_dir, f"{stem}_class_map.tif")
         write_tiff(out_tif, pred.astype(np.uint8)[None], meta,
                    compression="lzw", tiled=True)
