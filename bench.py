@@ -44,14 +44,14 @@ ROUNDS = 5     # timed batches in the sustained stream
 
 
 def _kappa(y_true, y_pred):
+    # the package's own sklearn-bit-parity metrics — the bench gate and
+    # the evaluation stage must agree by construction
+    from rs_image_segmentation_tpu.ops.stats import (cohen_kappa,
+                                                     confusion_matrix,
+                                                     overall_accuracy)
     labels = sorted(set(np.unique(y_true)) | set(np.unique(y_pred)))
-    idx = {l: i for i, l in enumerate(labels)}
-    cm = np.zeros((len(labels), len(labels)), np.float64)
-    for t, p in zip(y_true, y_pred):
-        cm[idx[t], idx[p]] += 1
-    oa = float(np.trace(cm) / cm.sum())
-    pe = float((cm.sum(0) * cm.sum(1)).sum() / cm.sum() ** 2)
-    return oa, (oa - pe) / (1.0 - pe) if pe < 1.0 else 0.0
+    cm = confusion_matrix(y_true, y_pred, labels)
+    return overall_accuracy(cm), cohen_kappa(cm)
 
 
 def main() -> None:

@@ -51,25 +51,40 @@ def conv2d_same(x: jnp.ndarray, kernel: np.ndarray,
     xp = pad2d(x, (ah, kh - 1 - ah), (aw, kw - 1 - aw), border).astype(
         jnp.float32)
     h, w = x.shape[-2], x.shape[-1]
-    # shift-and-add: single-channel spatial convs lower terribly on the MXU
-    # (C=1 wastes the 128-wide contraction; HIGHEST costs 6x on top —
-    # measured 70 ms vs <2 ms for a 3x3 Sobel over 8 scenes). A static
-    # small stencil is a handful of fused VPU adds.
-    acc = None
     kf = np.asarray(kernel, np.float32)
-    for i in range(kh):
-        for j in range(kw):
-            wgt = float(kf[i, j])
-            if wgt == 0.0:
-                continue
-            tap = jax.lax.slice_in_dim(
-                jax.lax.slice_in_dim(xp, i, i + h, axis=xp.ndim - 2),
-                j, j + w, axis=xp.ndim - 1)
-            term = tap if wgt == 1.0 else tap * wgt
-            acc = term if acc is None else acc + term
-    if acc is None:
-        acc = jnp.zeros_like(xp[..., :h, :w])
-    return acc
+    terms = []
+    if int((kf != 0).sum()) <= 32:
+        # shift-and-add: single-channel spatial convs lower terribly on the
+        # MXU (C=1 wastes the 128-wide contraction; HIGHEST costs 6x on
+        # top — measured 70 ms vs <2 ms for a 3x3 Sobel over 8 scenes).
+        # A static small stencil is a handful of fused VPU adds.
+        for i in range(kh):
+            for j in range(kw):
+                wgt = float(kf[i, j])
+                if wgt == 0.0:
+                    continue
+                tap = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(xp, i, i + h, axis=xp.ndim - 2),
+                    j, j + w, axis=xp.ndim - 1)
+                terms.append(tap if wgt == 1.0 else tap * wgt)
+        # pairwise tree sum (see _axis_shift_add)
+        while len(terms) > 1:
+            nxt = [terms[i] + terms[i + 1]
+                   for i in range(0, len(terms) - 1, 2)]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+    # dense kernels (e.g. the 15x15 Gabor bank) keep the conv lowering:
+    # unrolling 225 slice-mul-adds would explode op count and drift
+    lead = xp.shape[:-2]
+    xin = xp.reshape((-1, 1) + xp.shape[-2:])
+    k = jnp.asarray(kf).reshape(1, 1, kh, kw)
+    out = jax.lax.conv_general_dilated(
+        xin, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(lead + out.shape[-2:])
 
 
 def _axis_shift_add(x: jnp.ndarray, k: np.ndarray, axis: int,

@@ -475,10 +475,15 @@ def classify_large_scene_resumable(
 
     A restarted run with the same arguments skips the global passes and
     every completed tile, producing a map bit-identical to an uninterrupted
-    run (tiles are independent given the globals). ``interrupt_after=N``
-    raises :class:`TileInterrupt` after N newly-computed tiles — the
+    run (tiles are independent given the globals). The checkpoint is bound
+    to the INPUT: a fingerprint of the scene content + tile geometry + cfg
+    is stored in the manifest, and any mismatch (different scene, shape,
+    tile_rows, or feature config) discards the stale checkpoint instead of
+    silently returning another scene's map. ``interrupt_after=N`` raises
+    :class:`TileInterrupt` after N newly-computed tiles — the
     fault-injection hook the resume test uses. Reference analog: per-stage
     artifact persistence + model cache (3_classification.py:459-475)."""
+    import hashlib
     import json
     import os
 
@@ -488,7 +493,35 @@ def classify_large_scene_resumable(
     mpath = os.path.join(checkpoint_dir, "manifest.json")
     c, h, w = arr.shape
 
-    if os.path.exists(gpath):
+    # scene fingerprint: full content hash up to 64 MB, strided sample +
+    # shape beyond (hashing a multi-GB scene per run would dwarf a resume)
+    hsh = hashlib.sha1()
+    hsh.update(repr((arr.shape, str(arr.dtype), tile_rows, cfg)).encode())
+    if arr.nbytes <= (64 << 20):
+        hsh.update(np.ascontiguousarray(arr).tobytes())
+    else:
+        step = max(1, arr.nbytes // (16 << 20))
+        hsh.update(np.ascontiguousarray(arr.reshape(-1)[::step]).tobytes())
+    fingerprint = hsh.hexdigest()
+
+    manifest = {"shape": [h, w], "tile_rows": tile_rows,
+                "fingerprint": fingerprint, "done": []}
+    stale = False
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            saved = json.load(f)
+        if saved.get("fingerprint") == fingerprint:
+            manifest = saved
+        else:
+            stale = True
+    elif os.path.exists(gpath) or os.path.exists(ppath):
+        stale = True  # partial checkpoint with no manifest: unverifiable
+    if stale:
+        for p in (gpath, ppath):
+            if os.path.exists(p):
+                os.remove(p)
+
+    if os.path.exists(gpath) and not stale:
         with np.load(gpath) as z:
             globals_dict = {k: z[k] for k in z.files}
     else:
@@ -497,16 +530,11 @@ def classify_large_scene_resumable(
         np.savez(tmp, **globals_dict)
         os.replace(tmp, gpath)
 
-    manifest = {"shape": [h, w], "tile_rows": tile_rows, "done": []}
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            saved = json.load(f)
-        if (saved.get("shape") == [h, w]
-                and saved.get("tile_rows") == tile_rows):
-            manifest = saved
-
     if os.path.exists(ppath):
         out = np.lib.format.open_memmap(ppath, mode="r+")
+        if out.shape != (h, w):          # unreachable after the fingerprint
+            raise ValueError(f"checkpoint partial.npy shape {out.shape} "
+                             f"!= scene {(h, w)}")
     else:
         out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
                                         shape=(h, w))

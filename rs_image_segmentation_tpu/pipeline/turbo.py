@@ -85,22 +85,27 @@ def apply_u8_lut_mxu(planes_u8: jnp.ndarray, lut_u8: jnp.ndarray
 
 
 def histogram256(planes_u8: jnp.ndarray) -> jnp.ndarray:
-    """(C, H, W) uint8 -> (C, 256) f32 counts via eq-reduce (no scatter)."""
+    """(C, H, W) uint8 -> (C, 256) int32 counts via eq-reduce (no scatter).
+
+    int32, not f32: counts and their cumsum must stay exact for scenes
+    beyond 2^24 pixels (f32 integers saturate there), and the percentile
+    rank comparisons below are integer comparisons."""
     c = planes_u8.shape[0]
     flat = planes_u8.reshape(c, 1, -1)
     levels = jnp.arange(256, dtype=planes_u8.dtype).reshape(1, 256, 1)
-    return jnp.sum((flat == levels).astype(jnp.float32), axis=2)
+    return jnp.sum((flat == levels).astype(jnp.int32), axis=2)
 
 
 def percentiles_from_counts(counts: jnp.ndarray, values: jnp.ndarray,
                             qs: Sequence[float], n: int) -> jnp.ndarray:
     """np.percentile(method='linear') over per-band value multisets.
 
-    counts: (C, 256) occurrence counts; values: (C, 256) ASCENDING values
-    per band; qs: static percentiles; n: static total count. Returns
+    counts: (C, 256) integer occurrence counts; values: (C, 256) ASCENDING
+    values per band; qs: static percentiles; n: static total count. Returns
     (len(qs), C). Interpolation form matches ops.normalize.percentile
-    (v_lo*(1-frac) + v_hi*frac)."""
-    cum = jnp.cumsum(counts, axis=1)
+    (v_lo*(1-frac) + v_hi*frac). Ranks compare as exact int32 (scenes up
+    to 2^31 px)."""
+    cum = jnp.cumsum(counts.astype(jnp.int32), axis=1)
     out = []
     for q in qs:
         pos = q / 100.0 * (n - 1)
@@ -149,7 +154,7 @@ def _stack_cm_from_stretched(stretched_u8: jnp.ndarray,
     scale = jnp.where(iqr > 0, iqr, 1.0)
     xs = (bands01 - q[1][:, None, None]) / scale[:, None, None]
     xs_vals = (norm_vals - q[1][:, None]) / scale[:, None]
-    mean = jnp.sum(hist * xs_vals, axis=1) / n              # (7,)
+    mean = jnp.sum(hist.astype(jnp.float32) * xs_vals, axis=1) / n  # (7,)
     xc = xs - mean[:, None, None]
     flat = xc.reshape(c, -1)
     cov = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,

@@ -39,6 +39,9 @@ def run_batch_workflow(
     """Classify every scene; returns per-scene result dicts
     (path, class map path, metrics when a ROI was given)."""
     os.makedirs(output_dir, exist_ok=True)
+    if roi_paths and len(roi_paths) != len(scene_paths):
+        raise ValueError(f"{len(roi_paths)} roi_paths for "
+                         f"{len(scene_paths)} scenes")
     roi_paths = roi_paths or [None] * len(scene_paths)
     gains = np.asarray(cal.gains)
     biases = np.asarray(cal.biases)
@@ -53,27 +56,47 @@ def run_batch_workflow(
     shapes = {a.shape for a in scenes}
     results: List[Dict] = []
 
-    if len(shapes) == 1 and all(a.dtype == np.uint8 for a in scenes):
-        # uniform uint8 scenes -> the turbo path: ONE device program per
-        # batch (channel-major, sort-free, gather-free; pipeline.turbo),
-        # optionally sharded over the mesh's 'data' axis
+    gf = (_gemm_for(forest, 19)
+          if len(shapes) == 1 and all(a.dtype == np.uint8 for a in scenes)
+          else None)
+    if gf is not None:
+        # uniform uint8 scenes + GEMM-compilable forest -> the turbo path:
+        # ONE device program per sub-batch (channel-major, sort-free,
+        # gather-free; pipeline.turbo), optionally sharded over the mesh's
+        # 'data' axis. Sub-batches bound memory: a (B,19,H,W) f32 stack
+        # materializes per program, so B stays <= 8 per device.
+        # Forests beyond GEMM_MAX_LEAVES (gf is None) take the streaming
+        # traversal fallback below.
         from jax.sharding import NamedSharding, PartitionSpec as P
         from rs_image_segmentation_tpu.pipeline.preprocess import (
             build_stretch_lut)
         from rs_image_segmentation_tpu.pipeline.turbo import (
             classify_scenes_turbo)
-        gf = _gemm_for(forest, 19)
-        batch = np.stack(scenes)
-        luts = np.stack([build_stretch_lut(a, gains, biases)
-                         for a in scenes]).astype(np.uint8)
-        if mesh is not None and len(scenes) % mesh.devices.size == 0:
-            sh = NamedSharding(mesh, P("data"))
-            batch_d = jax.device_put(jnp.asarray(batch), sh)
-            luts_d = jax.device_put(jnp.asarray(luts), sh)
-        else:
-            batch_d, luts_d = jnp.asarray(batch), jnp.asarray(luts)
-        maps = np.asarray(classify_scenes_turbo(batch_d, luts_d, gf, cfg))
-        preds = [m for m in maps]
+        n_dev = mesh.devices.size if mesh is not None else 1
+        sub = 8 * n_dev
+        preds = []
+        pending = []
+        for i in range(0, len(scenes), sub):
+            group = scenes[i:i + sub]
+            real = len(group)
+            if real < sub and i > 0:
+                # pad a trailing partial group to the full sub-batch size so
+                # it reuses the already-compiled program (a fresh compile
+                # through the remote service costs minutes)
+                group = list(group) + [group[-1]] * (sub - real)
+            batch = np.stack(group)
+            luts = np.stack([build_stretch_lut(a, gains, biases)
+                             for a in group]).astype(np.uint8)
+            if mesh is not None and len(group) % n_dev == 0:
+                sh = NamedSharding(mesh, P("data"))
+                batch_d = jax.device_put(jnp.asarray(batch), sh)
+                luts_d = jax.device_put(jnp.asarray(luts), sh)
+            else:
+                batch_d, luts_d = jnp.asarray(batch), jnp.asarray(luts)
+            pending.append(
+                (classify_scenes_turbo(batch_d, luts_d, gf, cfg), real))
+        for maps, real in pending:    # drain once: sub-batches pipeline
+            preds.extend(np.asarray(maps)[:real])
     elif mesh is not None and len(shapes) == 1 and len(scenes) >= mesh.devices.size:
         # uniform shapes -> shard the batch over the mesh
         from rs_image_segmentation_tpu.parallel.sharded import (

@@ -166,3 +166,38 @@ def test_resumable_classify_survives_crash(rng, aa_scene, tmp_path):
     # idempotent: a third run recomputes nothing and returns the same map
     again = classify_large_scene_resumable(pre, gf, ckpt, cfg, tile_rows=63)
     assert np.array_equal(again, ref)
+
+
+def test_resumable_rejects_foreign_checkpoint(rng, aa_scene):
+    """A checkpoint dir from a DIFFERENT scene must be discarded, not
+    silently returned (code-review finding: fingerprint binding)."""
+    import os
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        classify_large_scene_resumable)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    scene_a = np.ascontiguousarray(pre[:, :126, :126])
+    scene_b = np.ascontiguousarray(pre[:, 126:252, 126:252])
+
+    stack = np.asarray(hierarchical_stack_fused(
+        jnp.asarray(scene_a, jnp.float32), cfg))
+    sel = rng.integers(0, 126, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=10, seed=0)
+    gf = _gemm_for(forest, 19)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as ckpt:
+        map_a = classify_large_scene_resumable(scene_a, gf, ckpt, cfg,
+                                               tile_rows=63)
+        # same dir, different scene of the same shape: checkpoint must be
+        # invalidated and scene_b fully classified
+        map_b = classify_large_scene_resumable(scene_b, gf, ckpt, cfg,
+                                               tile_rows=63)
+        ref_b = classify_large_scene(scene_b, gf, cfg, tile_rows=63)
+        assert np.array_equal(map_b, ref_b)
+        assert not np.array_equal(map_a, map_b)

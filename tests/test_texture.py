@@ -137,7 +137,10 @@ def test_glcm_overlapping_windows(rng):
     assert int(w16[4, 0, 0]) == 8 * 40  # second row of windows starts at row 8
 
 
-def test_estimate_affine_from_gcps(rng):
+def test_estimate_affine_from_gcps():
+    # own rng: the shared session fixture makes the noise draw (and thus
+    # the 0.05 recovery tolerance) depend on test execution order
+    rng = np.random.default_rng(1234)
     from rs_image_segmentation_tpu.ops.resize import estimate_affine_from_gcps
     true = np.array([[0.95, 0.05, 3.0], [-0.02, 1.03, -1.5]])
     src = rng.uniform(0, 100, (12, 2))

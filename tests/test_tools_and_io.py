@@ -368,3 +368,53 @@ def test_stage_timer_and_trace():
     assert "op" in rep and "total" in rep
     with device_trace(None):
         pass  # no-op path
+
+
+def test_batch_workflow_subbatches_and_padding(rng, tmp_path):
+    """>8 uniform scenes split into sub-batches; a trailing partial group
+    pads to reuse the compiled program and extra outputs are dropped
+    (code-review finding: unbounded single-program batches)."""
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.core.config import FeatureStageConfig
+    from rs_image_segmentation_tpu.models.forest import fit_random_forest
+    from rs_image_segmentation_tpu.pipeline.features import (
+        hierarchical_stack_fused)
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    from rs_image_segmentation_tpu.tools.batch import run_batch_workflow
+
+    cfg = FeatureStageConfig(glcm=__import__(
+        "rs_image_segmentation_tpu.core.config",
+        fromlist=["GLCMConfig"]).GLCMConfig(window_size=16, step_size=16,
+                                            levels=8))
+    paths = []
+    scenes = []
+    for i in range(10):  # sub=8 on a meshless run -> groups of 8 and 2->8pad
+        s = rng.integers(0, 256, (7, 32, 32)).astype(np.uint8)
+        p = str(tmp_path / f"s{i}.tif")
+        write_tiff(p, s, None)
+        paths.append(p)
+        scenes.append(s)
+    stack = np.asarray(hierarchical_stack_fused(
+        jnp.asarray(scenes[0], jnp.float32),
+        FeatureStageConfig(glcm=cfg.glcm)))
+    forest, depth = fit_random_forest(
+        stack.reshape(-1, 19)[:200], rng.integers(1, 4, 200),
+        n_estimators=5, seed=0)
+    results = run_batch_workflow(paths, forest, depth,
+                                 str(tmp_path / "out"), cfg=cfg)
+    assert len(results) == 10
+    import os
+    for r in results:
+        assert os.path.exists(r["class_map"])
+
+
+def test_batch_workflow_roi_length_mismatch(rng, tmp_path):
+    import pytest
+    from rs_image_segmentation_tpu.models.forest import fit_random_forest
+    from rs_image_segmentation_tpu.tools.batch import run_batch_workflow
+    forest, depth = fit_random_forest(
+        rng.random((50, 19)).astype(np.float32), rng.integers(1, 4, 50),
+        n_estimators=3, seed=0)
+    with pytest.raises(ValueError, match="roi_paths"):
+        run_batch_workflow(["a.tif", "b.tif"], forest, depth,
+                           str(tmp_path), roi_paths=["one.npy"])
