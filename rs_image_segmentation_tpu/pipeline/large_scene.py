@@ -88,9 +88,11 @@ class GlobalStats:
 
 
 def compute_global_stats(arr: np.ndarray,
-                         cfg: FeatureStageConfig) -> GlobalStats:
+                         cfg: FeatureStageConfig,
+                         hists: Optional[np.ndarray] = None) -> GlobalStats:
     """Pass A over a preprocessed (uint8-valued) scene."""
-    hists = band_histograms_u8(arr)
+    if hists is None:
+        hists = band_histograms_u8(arr)
     c = hists.shape[0]
     stats = GlobalStats(c)
     lo_q = cfg.normalize.lower_percentile
@@ -126,31 +128,28 @@ def compute_global_stats(arr: np.ndarray,
 
 def preprocess_large(arr: np.ndarray,
                      cal: CalibrationConfig = CalibrationConfig(),
-                     tile_rows: int = 2048) -> np.ndarray:
+                     tile_rows: int = 2048,
+                     return_device: bool = False) -> np.ndarray:
     """Stage 1 for scenes of any size: calibrate + global min/max stretch as
     an exact float64 per-DN lookup table (the uint8-input chain is a pure
     function of the DN; identical to ``pipeline.preprocess.preprocess_bands``
     and to the reference's NumPy float64 math), applied tile-wise."""
-    from rs_image_segmentation_tpu.pipeline.preprocess import _apply_lut
-    hists = band_histograms_u8(arr)
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        _apply_lut, build_stretch_lut)
     c, h, w = arr.shape
-    g = np.asarray(cal.gains, np.float64)
-    b = np.asarray(cal.biases, np.float64)
-    dn = np.arange(256, dtype=np.float64)
-    lut = np.zeros((c, 256), np.float32)
-    for i in range(c):
-        calv = g[i] * dn + b[i]
-        present = hists[i] > 0
-        mn = calv[present].min()
-        mx = calv[present].max()
-        lut[i] = ((calv - mn) * 255.0 / (mx - mn)).astype(np.uint8)
-    lut_dev = jnp.asarray(lut)
-    out = np.zeros((c, h, w), np.uint8)
-    for y0 in range(0, h, tile_rows):
-        tile = np.ascontiguousarray(arr[:, y0:y0 + tile_rows, :])
-        out[:, y0:y0 + tile.shape[1], :] = np.asarray(
-            _apply_lut(jnp.asarray(tile), lut_dev))
-    return out
+    # calibration is monotone per band, so the LUT needs only min/max DN
+    # (same argument as build_stretch_lut) — no full histogram pass
+    lut_dev = jnp.asarray(build_stretch_lut(arr, cal.gains, cal.biases))
+    src = _tile_src(arr)
+    pending = [_apply_lut(_get_tile(src, y0, min(h, y0 + tile_rows)),
+                          lut_dev)
+               for y0 in range(0, h, tile_rows)]
+    # combine on device, fetch ONCE (per-tile fetches serialize on the
+    # transport round-trip; measured 12 tiles x ~1s RTT at 36 MP).
+    # return_device keeps the result in HBM so a downstream
+    # classify_large_scene skips a full D2H+H2D round trip of the scene
+    out = jnp.concatenate(pending, axis=1)
+    return out if return_device else np.asarray(out)
 
 
 # -------------------------------------------------- per-tile device kernels
@@ -178,7 +177,8 @@ def _pca_accumulate(tile, p_lo, p_hi, median, iqr):
 
 
 def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
-                    tile_rows: int) -> None:
+                    tile_rows: int, src=None) -> None:
+    src = _tile_src(arr) if src is None else src
     c, h, w = arr.shape
     s1 = np.zeros(c, np.float64)
     s2 = np.zeros((c, c), np.float64)
@@ -187,12 +187,20 @@ def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
     p_hi = jnp.asarray(stats.p_hi)
     med = jnp.asarray(stats.median)
     iqr = jnp.asarray(stats.iqr)
+    pend1, pend2 = [], []
     for y0 in range(0, h, tile_rows):
-        tile = np.ascontiguousarray(arr[:, y0:y0 + tile_rows, :])
-        t1, t2 = _pca_accumulate(jnp.asarray(tile), p_lo, p_hi, med, iqr)
-        s1 += np.asarray(t1, np.float64)
-        s2 += np.asarray(t2, np.float64)
-        n += tile.shape[1] * w
+        ye = min(h, y0 + tile_rows)
+        t1, t2 = _pca_accumulate(_get_tile(src, y0, ye), p_lo, p_hi, med,
+                                 iqr)
+        pend1.append(t1)
+        pend2.append(t2)
+        n += (ye - y0) * w
+    # ONE fetch of the stacked per-tile sums (numerics unchanged: the
+    # f64 accumulation still happens on host, per tile)
+    for t1 in np.asarray(jnp.stack(pend1), np.float64):
+        s1 += t1
+    for t2 in np.asarray(jnp.stack(pend2), np.float64):
+        s2 += t2
     mean = s1 / n
     cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(cov)
@@ -247,6 +255,27 @@ def _resize_rows(grid: jnp.ndarray, out_hw: Tuple[int, int],
 HALO = 8  # >= max stencil reach in the stack path (7x7 context -> 3,
 #            grad5/std5 -> 2, sobel -> 1; 8 rounds up for alignment)
 
+DEVICE_RESIDENT_MAX_BYTES = 2 << 30
+
+
+def _tile_src(arr_np: np.ndarray):
+    """One H2D for the whole scene when it fits comfortably in HBM.
+
+    The streaming mode re-ships every tile on every pass (4 passes x
+    n_tiles transfers, each serialized on this environment's tunnel RTT —
+    measured 20x slower than compute at 36 MP). Scenes <= 2 GB (u8) live
+    on device whole and tiles are device-side slices; larger scenes keep
+    the bounded-memory streaming behavior."""
+    if arr_np.nbytes <= DEVICE_RESIDENT_MAX_BYTES:
+        return jnp.asarray(arr_np)
+    return arr_np
+
+
+def _get_tile(src, ys: int, ye: int) -> jnp.ndarray:
+    if isinstance(src, jnp.ndarray):
+        return src[:, ys:ye, :]
+    return jnp.asarray(np.ascontiguousarray(src[:, ys:ye, :]))
+
 
 def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
                        cfg: FeatureStageConfig = FeatureStageConfig(),
@@ -263,14 +292,15 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
                                                          lloyd_step)
 
     c, h, w = arr.shape
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows)
+    src = _tile_src(arr)
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
 
     def tiles():
         for y0 in range(0, h, tile_rows):
             rows = min(tile_rows, h - y0)
             ys = max(0, y0 - HALO)
             ye = min(h, y0 + rows + HALO)
-            tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
+            tile = _get_tile(src, ys, ye)
             yield y0, rows, stack_tile(tile, y0, y0 - ys, rows)
 
     # pass 1: global MinMax bounds + deterministic subsample
@@ -313,15 +343,28 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
 
 
 def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
-                   tile_rows: int) -> dict:
+                   tile_rows: int, src=None) -> dict:
     """Passes A-C as a dict of plain numpy arrays — checkpointable, so a
     resumed run skips them (SURVEY §5 failure-detection row)."""
     step = cfg.glcm.step_size
     if tile_rows % step:
         raise ValueError(f"tile_rows must be a multiple of {step}")
     c, h, w = arr.shape
-    stats = compute_global_stats(arr, cfg)
-    _fit_global_pca(arr, stats, tile_rows)
+    src = _tile_src(arr) if src is None else src
+    if isinstance(src, jnp.ndarray):
+        # device eq-reduce histogram beats host bincount over big scenes
+        # (measured 4s -> ms at 36 MP), exact int32 counts either way.
+        # Tiled: the eq-reduce does not fuse at whole-scene sizes (XLA
+        # tried to materialize the (C,256,N) compare — 60 GB at 36 MP)
+        from rs_image_segmentation_tpu.pipeline.turbo import histogram256
+        parts = [histogram256(_get_tile(src, y0, min(h, y0 + tile_rows)))
+                 for y0 in range(0, h, tile_rows)]
+        hists = np.asarray(
+            jnp.sum(jnp.stack(parts), axis=0)).astype(np.int64)
+    else:
+        hists = band_histograms_u8(arr)
+    stats = compute_global_stats(arr, cfg, hists=hists)
+    _fit_global_pca(arr, stats, tile_rows, src=src)
 
     n_i = (h - cfg.glcm.window_size) // step + 1
     n_j = (w - cfg.glcm.window_size) // step + 1
@@ -338,16 +381,18 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
         nir = _normalize_tile(tile, p_lo, p_hi)[tb]
         return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
 
+    glcm_pending = []
     for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
         rows = min(tile_rows, h - y0)
         grid_rows = (rows - cfg.glcm.window_size) // step + 1
         if grid_rows <= 0:
             continue
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, y0:y0 + rows, :]))
+        tile = _get_tile(src, y0, y0 + rows)
         con, hom = _tile_glcm_grid(tex_tile(tile), cfg.glcm.levels,
                                    cfg.glcm.window_size, step,
                                    cfg.glcm.angles)
-        gi = y0 // step
+        glcm_pending.append((y0 // step, grid_rows, con, hom))
+    for gi, grid_rows, con, hom in glcm_pending:  # drain once
         contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
         homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
 
@@ -357,11 +402,13 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
         return jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
 
     sobel_max = 0.0
+    sobel_pending = []
     for y0 in range(0, h, tile_rows):
         ys = max(0, y0 - 1)
         ye = min(h, y0 + tile_rows + 1)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-        sobel_max = max(sobel_max, float(tile_sobel_max(tile)))
+        sobel_pending.append(tile_sobel_max(_get_tile(src, ys, ye)))
+    for v in sobel_pending:  # drain once: tile maxes pipeline
+        sobel_max = max(sobel_max, float(v))
 
     return {"p_lo": stats.p_lo, "p_hi": stats.p_hi, "median": stats.median,
             "iqr": stats.iqr, "tex_lo": np.float32(stats.tex_lo),
@@ -372,12 +419,13 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
 
 
 def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
-                   tile_rows: int, globals_dict: Optional[dict] = None):
+                   tile_rows: int, globals_dict: Optional[dict] = None,
+                   src=None):
     """Jitted per-tile 19-channel stack function over the pass A-C global
     statistics (computed here unless a checkpointed dict is supplied)."""
     c, h, w = arr.shape
     g = globals_dict if globals_dict is not None else _global_passes(
-        arr, cfg, tile_rows)
+        arr, cfg, tile_rows, src=src)
     tb = cfg.texture_band_index
     p_lo = jnp.asarray(g["p_lo"])
     p_hi = jnp.asarray(g["p_hi"])
@@ -432,7 +480,8 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
     row tiles. ``tile_rows`` must be a multiple of the GLCM step so texture
     windows align with the global window grid."""
     c, h, w = arr.shape
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows)
+    src = _tile_src(arr)
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
     chunk = _gemm_chunk(gf.path.shape[1])
 
     @functools.partial(jax.jit, static_argnames=("rows",))
@@ -440,16 +489,19 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
         from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
         stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
         pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        return pred.reshape(rows, w)
+        # labels fit uint8 (reference classes are tiny ints); 4x less D2H
+        return pred.reshape(rows, w).astype(jnp.uint8)
 
-    out = np.zeros((h, w), np.int32)
+    pending = []
     for y0 in range(0, h, tile_rows):
         rows = min(tile_rows, h - y0)
         ys = max(0, y0 - HALO)
         ye = min(h, y0 + rows + HALO)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
-        out[y0:y0 + rows] = np.asarray(
-            classify_tile(tile, y0, y0 - ys, rows))
+        tile = _get_tile(src, ys, ye)
+        pending.append((y0, rows, classify_tile(tile, y0, y0 - ys, rows)))
+    out = np.zeros((h, w), np.int32)
+    for y0, rows, dev in pending:  # drain once: tiles pipeline on device
+        out[y0:y0 + rows] = np.asarray(dev)
     return out
 
 
@@ -539,7 +591,9 @@ def classify_large_scene_resumable(
         out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
                                         shape=(h, w))
 
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, globals_dict)
+    src = _tile_src(arr)
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, globals_dict,
+                                   src=src)
     chunk = _gemm_chunk(gf.path.shape[1])
 
     @functools.partial(jax.jit, static_argnames=("rows",))
@@ -547,7 +601,7 @@ def classify_large_scene_resumable(
         from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
         stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
         pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        return pred.reshape(rows, w)
+        return pred.reshape(rows, w).astype(jnp.uint8)
 
     done = set(manifest["done"])
     fresh = 0
@@ -559,7 +613,7 @@ def classify_large_scene_resumable(
         rows = min(tile_rows, h - y0)
         ys = max(0, y0 - HALO)
         ye = min(h, y0 + rows + HALO)
-        tile = jnp.asarray(np.ascontiguousarray(arr[:, ys:ye, :]))
+        tile = _get_tile(src, ys, ye)
         out[y0:y0 + rows] = np.asarray(classify_tile(tile, y0, y0 - ys, rows))
         out.flush()
         done.add(y0)

@@ -89,11 +89,28 @@ def histogram256(planes_u8: jnp.ndarray) -> jnp.ndarray:
 
     int32, not f32: counts and their cumsum must stay exact for scenes
     beyond 2^24 pixels (f32 integers saturate there), and the percentile
-    rank comparisons below are integer comparisons."""
+    rank comparisons below are integer comparisons.
+
+    Planes beyond 2^21 px reduce in lax.map blocks: XLA does not fuse the
+    (C, 256, N) compare into the reduction at large N (it tried to
+    materialize 20+ GB for a 21 MP tile)."""
     c = planes_u8.shape[0]
-    flat = planes_u8.reshape(c, 1, -1)
-    levels = jnp.arange(256, dtype=planes_u8.dtype).reshape(1, 256, 1)
-    return jnp.sum((flat == levels).astype(jnp.int32), axis=2)
+    n = planes_u8.size // c
+    levels = jnp.arange(256, dtype=planes_u8.dtype)
+    if n <= (1 << 21):
+        flat = planes_u8.reshape(c, 1, -1)
+        return jnp.sum((flat == levels.reshape(1, 256, 1)).astype(jnp.int32),
+                       axis=2)
+    blk = 1 << 20
+    pad = (-n) % blk
+    # pad with 0 and subtract the padding from bin 0 afterwards
+    flat = jnp.pad(planes_u8.reshape(c, -1), ((0, 0), (0, pad)))
+    blocks = jnp.moveaxis(flat.reshape(c, -1, blk), 1, 0)   # (nb, C, blk)
+    part = jax.lax.map(
+        lambda b: jnp.sum((b[:, None, :] == levels[None, :, None]
+                           ).astype(jnp.int32), axis=2), blocks)
+    hist = jnp.sum(part, axis=0)
+    return hist.at[:, 0].add(-pad)
 
 
 def percentiles_from_counts(counts: jnp.ndarray, values: jnp.ndarray,
