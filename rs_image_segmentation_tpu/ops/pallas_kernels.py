@@ -257,3 +257,102 @@ def fused_calibrate_stretch(bands: jnp.ndarray, gains: jnp.ndarray,
         interpret=interpret,
     )(gains.astype(jnp.float32), biases.astype(jnp.float32), mn, mx, x)
     return out[:, :h, :w]
+
+
+# ------------------------------------------------- fused LUT + histogram
+
+_LUTHIST_BLKR = 40  # 128-px rows per program; one-hot = (40, 128, 128) f32
+
+
+def _lut_hist_kernel(lut_ref, px_ref, out_ref, hist_ref):
+    """One HBM pass producing the LUT-stretched block (f32, exact integer
+    levels) AND the raw-DN histogram partial for the band.
+
+    The LUT application is the exact one-hot @ table matmul
+    (pipeline.turbo.apply_u8_lut_mxu); here the one-hot additionally
+    yields the histogram for free (column sums), so the XLA version's
+    second full read of the scene disappears. Pixels arrive pre-shaped
+    (BLKR, 128) so no in-kernel shape casts are needed (Mosaic rejects
+    sublane/lane-merging reshapes); the 256-entry table rides in an
+    (8, 128)-tiled buffer with rows 0-1 live."""
+    x = px_ref[0].astype(jnp.int32)                         # (BLKR, 128)
+    lut8 = lut_ref[0]                                       # (8, 128) f32
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, x.shape + (128,), 2)                     # (BLKR,128,128)
+    oh_lo = (x[:, :, None] == iota).astype(jnp.bfloat16)
+    oh_hi = (x[:, :, None] == iota + 128).astype(jnp.bfloat16)
+
+    def matvec(oh, lut_row):
+        # rhs (1, 128) with the contracting dim last (Mosaic constraint);
+        # bf16 x bf16 -> f32: 0/1 indicators and integer table rows <= 255
+        # are exact in bf16
+        return jax.lax.dot_general(
+            oh, lut_row.astype(jnp.bfloat16), (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)[:, :, 0]    # (BLKR, 128)
+
+    out_ref[0] = matvec(oh_lo, lut8[0:1]) + matvec(oh_hi, lut8[1:2])
+    cnt_lo = jnp.sum(oh_lo.astype(jnp.float32), axis=(0, 1))  # (128,)
+    cnt_hi = jnp.sum(oh_hi.astype(jnp.float32), axis=(0, 1))
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    counts = (jnp.where(row == 0, cnt_lo[None, :], 0.0)
+              + jnp.where(row == 1, cnt_hi[None, :], 0.0))
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        hist_ref[0] = counts
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        hist_ref[0] += counts
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
+                    interpret: bool = False):
+    """(C, H, W) uint8 scene + (C, 256) uint8 LUT ->
+    (stretched (C, H, W) f32 holding exact uint8 levels,
+     stretched-value histogram (C, 256) int32).
+
+    Padding reads as DN 0; the pad count is subtracted from the raw bin 0
+    before the (tiny) raw->stretched histogram remap, so the outputs
+    match apply_u8_lut_mxu + histogram256 exactly (tested)."""
+    c, h, w = scene_u8.shape
+    n = h * w
+    blk = _LUTHIST_BLKR * 128
+    pad = (-n) % blk
+    flat = jnp.pad(scene_u8.reshape(c, -1), ((0, 0), (0, pad)))
+    px = flat.reshape(c, -1, 128)                           # (C, R, 128)
+    lut_tiled = jnp.zeros((c, 8, 128), jnp.float32
+                          ).at[:, :2, :].set(
+        lut_u8.astype(jnp.float32).reshape(c, 2, 128))
+
+    grid = (c, px.shape[1] // _LUTHIST_BLKR)
+    stretched_p, hist_t = pl.pallas_call(
+        _lut_hist_kernel,
+        out_shape=(jax.ShapeDtypeStruct(px.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((c, 8, 128), jnp.float32)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(lut_tiled, px)
+
+    hist_raw = hist_t[:, :2, :].reshape(c, 256)
+    if pad:
+        hist_raw = hist_raw.at[:, 0].add(-float(pad))
+    # raw-DN -> stretched-value histogram: tiny (C, 256, 256) remap
+    remap = (lut_u8[:, :, None].astype(jnp.int32)
+             == jnp.arange(256, dtype=jnp.int32)).astype(jnp.float32)
+    hist = jnp.einsum("ck,ckv->cv", hist_raw, remap)
+    stretched = stretched_p.reshape(c, -1)[:, :n].reshape(c, h, w)
+    return stretched, hist.astype(jnp.int32)

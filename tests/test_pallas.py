@@ -63,3 +63,23 @@ def test_glcm_pallas_matches_xla(rng):
                                       interpret=True))
     assert got.shape == (n_i, n_j, 5)
     assert np.abs(ref - got).max() < 1e-4
+
+
+def test_lut_hist_pallas_matches_xla(rng):
+    """Fused LUT+histogram kernel == apply_u8_lut_mxu + histogram256,
+    bit-exact, including pad-correction on non-tile-aligned shapes."""
+    import jax.numpy as jnp
+    from rs_image_segmentation_tpu.ops.pallas_kernels import lut_hist_pallas
+    from rs_image_segmentation_tpu.pipeline.turbo import (apply_u8_lut_mxu,
+                                                          histogram256)
+    for shape in [(7, 50, 77), (3, 128, 128), (1, 600, 600)]:
+        scene = rng.integers(0, 256, shape).astype(np.uint8)
+        lut = rng.integers(0, 256, (shape[0], 256)).astype(np.uint8)
+        st, hist = lut_hist_pallas(jnp.asarray(scene), jnp.asarray(lut),
+                                   interpret=True)
+        ref_st = np.asarray(apply_u8_lut_mxu(jnp.asarray(scene),
+                                             jnp.asarray(lut)))
+        ref_h = np.asarray(histogram256(jnp.asarray(ref_st)))
+        assert np.array_equal(np.asarray(st), ref_st.astype(np.float32)), shape
+        assert np.array_equal(np.asarray(hist).astype(np.int64),
+                              ref_h.astype(np.int64)), shape
