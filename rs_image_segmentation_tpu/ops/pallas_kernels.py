@@ -291,11 +291,15 @@ def _lut_hist_kernel(lut_ref, px_ref, out_ref, hist_ref):
             preferred_element_type=jnp.float32)[:, :, 0]    # (BLKR, 128)
 
     out_ref[0] = matvec(oh_lo, lut8[0:1]) + matvec(oh_hi, lut8[1:2])
-    cnt_lo = jnp.sum(oh_lo.astype(jnp.float32), axis=(0, 1))  # (128,)
-    cnt_hi = jnp.sum(oh_hi.astype(jnp.float32), axis=(0, 1))
+    # per-block counts are <= BLKR*128 (exact in f32) but the ACCUMULATED
+    # totals can pass 2^24 on big scenes, so the running sum is int32
+    cnt_lo = jnp.sum(oh_lo.astype(jnp.float32), axis=(0, 1)
+                     ).astype(jnp.int32)                    # (128,)
+    cnt_hi = jnp.sum(oh_hi.astype(jnp.float32), axis=(0, 1)
+                     ).astype(jnp.int32)
     row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    counts = (jnp.where(row == 0, cnt_lo[None, :], 0.0)
-              + jnp.where(row == 1, cnt_hi[None, :], 0.0))
+    counts = (jnp.where(row == 0, cnt_lo[None, :], 0)
+              + jnp.where(row == 1, cnt_hi[None, :], 0))
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -330,7 +334,7 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
     stretched_p, hist_t = pl.pallas_call(
         _lut_hist_kernel,
         out_shape=(jax.ShapeDtypeStruct(px.shape, jnp.float32),
-                   jax.ShapeDtypeStruct((c, 8, 128), jnp.float32)),
+                   jax.ShapeDtypeStruct((c, 8, 128), jnp.int32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
@@ -349,10 +353,10 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
 
     hist_raw = hist_t[:, :2, :].reshape(c, 256)
     if pad:
-        hist_raw = hist_raw.at[:, 0].add(-float(pad))
-    # raw-DN -> stretched-value histogram: tiny (C, 256, 256) remap
-    remap = (lut_u8[:, :, None].astype(jnp.int32)
-             == jnp.arange(256, dtype=jnp.int32)).astype(jnp.float32)
-    hist = jnp.einsum("ck,ckv->cv", hist_raw, remap)
+        hist_raw = hist_raw.at[:, 0].add(-pad)
+    # raw-DN -> stretched-value histogram: exact int32 scatter-add over
+    # 256 bins (a f32 einsum here would round totals past 2^24)
+    hist = jax.vmap(lambda hr, l: jnp.zeros(256, jnp.int32)
+                    .at[l.astype(jnp.int32)].add(hr))(hist_raw, lut_u8)
     stretched = stretched_p.reshape(c, -1)[:, :n].reshape(c, h, w)
-    return stretched, hist.astype(jnp.int32)
+    return stretched, hist

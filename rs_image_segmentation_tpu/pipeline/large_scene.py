@@ -141,15 +141,20 @@ def preprocess_large(arr: np.ndarray,
     # (same argument as build_stretch_lut) — no full histogram pass
     lut_dev = jnp.asarray(build_stretch_lut(arr, cal.gains, cal.biases))
     src = _tile_src(arr)
-    pending = [_apply_lut(_get_tile(src, y0, min(h, y0 + tile_rows)),
-                          lut_dev)
-               for y0 in range(0, h, tile_rows)]
-    # combine on device, fetch ONCE (per-tile fetches serialize on the
-    # transport round-trip; measured 12 tiles x ~1s RTT at 36 MP).
-    # return_device keeps the result in HBM so a downstream
-    # classify_large_scene skips a full D2H+H2D round trip of the scene
-    out = jnp.concatenate(pending, axis=1)
-    return out if return_device else np.asarray(out)
+    if isinstance(src, jnp.ndarray):
+        # device-resident scene: ONE program, one optional fetch.
+        # return_device keeps the result in HBM so a downstream
+        # classify_large_scene skips a full D2H+H2D round trip
+        out = _apply_lut(src, lut_dev)
+        return out if return_device else np.asarray(out)
+    # streaming (> DEVICE_RESIDENT_MAX_BYTES): per-tile host writeback so
+    # device memory stays bounded — the whole point of this mode
+    out = np.zeros((c, h, w), np.uint8)
+    for y0 in range(0, h, tile_rows):
+        ye = min(h, y0 + tile_rows)
+        out[:, y0:ye, :] = np.asarray(
+            _apply_lut(_get_tile(src, y0, ye), lut_dev))
+    return out
 
 
 # -------------------------------------------------- per-tile device kernels
@@ -187,20 +192,27 @@ def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
     p_hi = jnp.asarray(stats.p_hi)
     med = jnp.asarray(stats.median)
     iqr = jnp.asarray(stats.iqr)
+    resident = isinstance(src, jnp.ndarray)
     pend1, pend2 = [], []
     for y0 in range(0, h, tile_rows):
         ye = min(h, y0 + tile_rows)
         t1, t2 = _pca_accumulate(_get_tile(src, y0, ye), p_lo, p_hi, med,
                                  iqr)
-        pend1.append(t1)
-        pend2.append(t2)
         n += (ye - y0) * w
-    # ONE fetch of the stacked per-tile sums (numerics unchanged: the
-    # f64 accumulation still happens on host, per tile)
-    for t1 in np.asarray(jnp.stack(pend1), np.float64):
-        s1 += t1
-    for t2 in np.asarray(jnp.stack(pend2), np.float64):
-        s2 += t2
+        if resident:
+            pend1.append(t1)
+            pend2.append(t2)
+        else:
+            # streaming: fetch per tile so in-flight buffers stay bounded
+            s1 += np.asarray(t1, np.float64)
+            s2 += np.asarray(t2, np.float64)
+    if resident:
+        # ONE fetch of the stacked per-tile sums (numerics unchanged: the
+        # f64 accumulation still happens on host, per tile)
+        for t1 in np.asarray(jnp.stack(pend1), np.float64):
+            s1 += t1
+        for t2 in np.asarray(jnp.stack(pend2), np.float64):
+            s2 += t2
     mean = s1 / n
     cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
     eigvals, eigvecs = np.linalg.eigh(cov)
@@ -256,6 +268,15 @@ HALO = 8  # >= max stencil reach in the stack path (7x7 context -> 3,
 #            grad5/std5 -> 2, sobel -> 1; 8 rounds up for alignment)
 
 DEVICE_RESIDENT_MAX_BYTES = 2 << 30
+
+
+def _label_transfer_dtype(gf: GemmForest):
+    """uint8 label D2H (4x less transfer) only when every class id fits;
+    arbitrary class ids (e.g. land-cover codes > 255) keep int32."""
+    classes = np.asarray(gf.classes)
+    if classes.min() >= 0 and classes.max() <= 255:
+        return jnp.uint8
+    return jnp.int32
 
 
 def _tile_src(arr_np: np.ndarray):
@@ -381,6 +402,7 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
         nir = _normalize_tile(tile, p_lo, p_hi)[tb]
         return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
 
+    resident = isinstance(src, jnp.ndarray)
     glcm_pending = []
     for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
         rows = min(tile_rows, h - y0)
@@ -392,7 +414,9 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
                                    cfg.glcm.window_size, step,
                                    cfg.glcm.angles)
         glcm_pending.append((y0 // step, grid_rows, con, hom))
-    for gi, grid_rows, con, hom in glcm_pending:  # drain once
+        if not resident:  # streaming: bound in-flight tiles
+            np.asarray(con)
+    for gi, grid_rows, con, hom in glcm_pending:  # drain once (resident)
         contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
         homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
 
@@ -406,7 +430,11 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
     for y0 in range(0, h, tile_rows):
         ys = max(0, y0 - 1)
         ye = min(h, y0 + tile_rows + 1)
-        sobel_pending.append(tile_sobel_max(_get_tile(src, ys, ye)))
+        v = tile_sobel_max(_get_tile(src, ys, ye))
+        if resident:
+            sobel_pending.append(v)
+        else:
+            sobel_max = max(sobel_max, float(v))
     for v in sobel_pending:  # drain once: tile maxes pipeline
         sobel_max = max(sobel_max, float(v))
 
@@ -484,22 +512,28 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
     stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
     chunk = _gemm_chunk(gf.path.shape[1])
 
+    out_dt = _label_transfer_dtype(gf)
+
     @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
         from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
         stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
         pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        # labels fit uint8 (reference classes are tiny ints); 4x less D2H
-        return pred.reshape(rows, w).astype(jnp.uint8)
+        return pred.reshape(rows, w).astype(out_dt)
 
+    resident = isinstance(src, jnp.ndarray)
     pending = []
+    out = np.zeros((h, w), np.int32)
     for y0 in range(0, h, tile_rows):
         rows = min(tile_rows, h - y0)
         ys = max(0, y0 - HALO)
         ye = min(h, y0 + rows + HALO)
         tile = _get_tile(src, ys, ye)
-        pending.append((y0, rows, classify_tile(tile, y0, y0 - ys, rows)))
-    out = np.zeros((h, w), np.int32)
+        dev = classify_tile(tile, y0, y0 - ys, rows)
+        if resident:
+            pending.append((y0, rows, dev))
+        else:  # streaming: per-tile writeback keeps device memory bounded
+            out[y0:y0 + rows] = np.asarray(dev)
     for y0, rows, dev in pending:  # drain once: tiles pipeline on device
         out[y0:y0 + rows] = np.asarray(dev)
     return out
@@ -573,11 +607,12 @@ def classify_large_scene_resumable(
             if os.path.exists(p):
                 os.remove(p)
 
+    src = _tile_src(arr)
     if os.path.exists(gpath) and not stale:
         with np.load(gpath) as z:
             globals_dict = {k: z[k] for k in z.files}
     else:
-        globals_dict = _global_passes(arr, cfg, tile_rows)
+        globals_dict = _global_passes(arr, cfg, tile_rows, src=src)
         tmp = gpath + ".tmp.npz"
         np.savez(tmp, **globals_dict)
         os.replace(tmp, gpath)
@@ -591,17 +626,17 @@ def classify_large_scene_resumable(
         out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
                                         shape=(h, w))
 
-    src = _tile_src(arr)
     stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, globals_dict,
                                    src=src)
     chunk = _gemm_chunk(gf.path.shape[1])
+    out_dt = _label_transfer_dtype(gf)
 
     @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
         from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
         stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
         pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        return pred.reshape(rows, w).astype(jnp.uint8)
+        return pred.reshape(rows, w).astype(out_dt)
 
     done = set(manifest["done"])
     fresh = 0

@@ -117,3 +117,21 @@ def test_preprocess_device_lut_documented_deviation(rng, aa_scene):
     diff = np.abs(host.astype(np.int16) - dev.astype(np.int16))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.15  # measured 8.3% on the bundled scene
+
+
+def test_histogram256_chunked_path(rng):
+    """Planes beyond 2^21 px take the lax.map block path with bin-0 pad
+    correction (review finding: previously untested)."""
+    plane = rng.integers(0, 256, (1, 2049, 1024)).astype(np.uint8)
+    got = np.asarray(histogram256(jnp.asarray(plane)))
+    ref = np.bincount(plane.ravel(), minlength=256)
+    assert np.array_equal(got[0].astype(np.int64), ref)
+
+
+def test_histogram256_counts_exact_past_f32(rng):
+    """A single bin above 2^24 must stay exact (int32 counts; f32 would
+    round)."""
+    n = (1 << 24) + 4099
+    plane = np.full((1, n), 7, np.uint8)
+    got = np.asarray(histogram256(jnp.asarray(plane.reshape(1, 1, n))))
+    assert got[0, 7] == n
