@@ -292,3 +292,27 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
     x_cm = jnp.moveaxis(stacks, 1, 0).reshape(19, -1)       # (19, B*H*W)
     labels = gemm_labels_cm(gf, x_cm, chunk)
     return labels.reshape(b, h, w).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_clusters", "seed"))
+def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
+                        n_clusters: int = 7,
+                        cfg: FeatureStageConfig = FeatureStageConfig(),
+                        seed: int = 42) -> jnp.ndarray:
+    """Unsupervised counterpart of :func:`classify_scenes_turbo` for ONE
+    scene (BASELINE config #2 fused end-to-end): raw uint8 scene + exact
+    stretch LUT -> channel-major 19-channel stack -> MinMax scale ->
+    on-device KMeans (k-means++ + Lloyd) -> (H, W) 1-based labels, all in
+    one device program. Matches the stage-3 semantics of clustering the
+    hierarchical_all stack (reference 3_classification.py:377-400 with
+    use_hierarchical_all=True; cluster ids are seed-dependent, absorbed
+    by evaluation's cluster->class majority mapping)."""
+    from rs_image_segmentation_tpu.models.kmeans import (
+        kmeans_fit_predict, minmax_scale_features)
+
+    c, h, w = scene_u8.shape
+    stack = _stack_cm_from_parts(*_preamble(scene_u8, stretch_lut_u8), cfg)
+    x = stack.reshape(stack.shape[0], -1).T                 # (N, 19)
+    xs = minmax_scale_features(x)
+    labels, _ = kmeans_fit_predict(xs, n_clusters, seed=seed)
+    return (labels.reshape(h, w) + 1).astype(jnp.uint8)

@@ -135,3 +135,19 @@ def test_histogram256_counts_exact_past_f32(rng):
     plane = np.full((1, n), 7, np.uint8)
     got = np.asarray(histogram256(jnp.asarray(plane.reshape(1, 1, n))))
     assert got[0, 7] == n
+
+
+def test_kmeans_scenes_turbo(rng, aa_scene):
+    """Fused unsupervised route (BASELINE config #2): sane cluster map
+    with real structure, 1-based labels."""
+    from rs_image_segmentation_tpu.pipeline.turbo import kmeans_scenes_turbo
+    arr, _ = aa_scene
+    arr = np.ascontiguousarray(arr[:, :252, :252])
+    cal = CalibrationConfig()
+    slut = build_stretch_lut(arr, np.asarray(cal.gains),
+                             np.asarray(cal.biases)).astype(np.uint8)
+    labels = np.asarray(kmeans_scenes_turbo(
+        jnp.asarray(arr), jnp.asarray(slut), n_clusters=5))
+    assert labels.shape == (252, 252)
+    assert labels.min() >= 1 and labels.max() <= 5
+    assert len(np.unique(labels)) >= 3
