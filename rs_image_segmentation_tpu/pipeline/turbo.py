@@ -316,3 +316,39 @@ def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
     xs = minmax_scale_features(x)
     labels, _ = kmeans_fit_predict(xs, n_clusters, seed=seed)
     return (labels.reshape(h, w) + 1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg"))
+def rule_based_scenes_turbo(scene_u8: jnp.ndarray,
+                            stretch_lut_u8: jnp.ndarray,
+                            cfg: FeatureStageConfig = FeatureStageConfig(),
+                            rule_cfg=None) -> jnp.ndarray:
+    """Rule-based counterpart of :func:`classify_scenes_turbo` for ONE
+    scene (BASELINE config #1 fused end-to-end): raw uint8 scene + exact
+    stretch LUT -> normalized bands -> NDVI/NDWI/MNDWI/NDBI -> threshold
+    rules with on-device morphology/connected-component post-processing
+    and priority paint (pipeline.classify.rule_based_classify), all in
+    one device program. Only the four index planes are computed — the
+    rules never touch PCA/texture (reference 3_classification.py:335-375)."""
+    from rs_image_segmentation_tpu.core.config import RuleBasedConfig
+    from rs_image_segmentation_tpu.ops.indices import mndwi as mndwi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndbi as ndbi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndvi as ndvi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndwi as ndwi_fn
+    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
+
+    rule_cfg = rule_cfg if rule_cfg is not None else RuleBasedConfig()
+    c, h, w = scene_u8.shape
+    stretched, hist = _preamble(scene_u8, stretch_lut_u8)
+    n = h * w
+    vals = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32), (c, 256))
+    p = percentiles_from_counts(hist, vals,
+                                (cfg.normalize.lower_percentile,
+                                 cfg.normalize.upper_percentile), n)
+    lo, hi = p[0][:, None, None], p[1][:, None, None]
+    bands01 = ((jnp.clip(stretched, lo, hi) - lo)
+               / (hi - lo + cfg.normalize.epsilon))
+    green, red, nir, swir1 = bands01[1], bands01[2], bands01[3], bands01[4]
+    return rule_based_classify(ndvi_fn(nir, red), ndwi_fn(green, nir),
+                               mndwi_fn(green, swir1), ndbi_fn(swir1, nir),
+                               rule_cfg)

@@ -151,3 +151,30 @@ def test_kmeans_scenes_turbo(rng, aa_scene):
     assert labels.shape == (252, 252)
     assert labels.min() >= 1 and labels.max() <= 5
     assert len(np.unique(labels)) >= 3
+
+
+def test_rule_based_scenes_turbo_matches_standard(rng, aa_scene):
+    """Fused rule route == the standard rule graph over the standard
+    normalized indices (BASELINE config #1)."""
+    from rs_image_segmentation_tpu.ops.indices import spectral_indices
+    from rs_image_segmentation_tpu.ops.normalize import robust_normalize
+    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        rule_based_scenes_turbo)
+    arr, _ = aa_scene
+    arr = np.ascontiguousarray(arr[:, :252, :252])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    slut = build_stretch_lut(arr, gains, biases).astype(np.uint8)
+
+    pre = preprocess_bands(arr, gains, biases)
+    bands01 = jnp.stack([robust_normalize(b.astype(jnp.float32))
+                         for b in pre])
+    idx = spectral_indices(bands01)
+    ref = np.asarray(rule_based_classify(idx["ndvi"], idx["ndwi"],
+                                         idx["mndwi"], idx["ndbi"]))
+    got = np.asarray(rule_based_scenes_turbo(jnp.asarray(arr),
+                                             jnp.asarray(slut)))
+    agreement = (ref == got).mean()
+    assert agreement > 0.999, agreement
+    assert set(np.unique(got)) <= {0, 1, 2, 3, 4}
