@@ -1,0 +1,77 @@
+"""``rs-seg-serve``: run the batching classification server.
+
+The model comes from (in priority order) ``--model`` (an npz saved by
+``models.serialize.save_flat_forest``), or ``--samples`` + ``--scene``
+(train on the fly exactly like the reference's supervised workflow,
+modules/supervised_classifiers.py:118-163).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def serve_cli(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Batching classification server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--model", default=None,
+                   help="npz forest (models.serialize.save_flat_forest)")
+    p.add_argument("--samples", default="/root/reference/data/samples.pkl",
+                   help="(x, y) pickle to train from when --model is absent")
+    p.add_argument("--scene", default="/root/reference/data/raw/AA.tif",
+                   help="scene used to derive training features when "
+                        "training from --samples")
+    p.add_argument("--warmup", action="append", default=[],
+                   metavar="HxW", help="pre-compile for these scene shapes "
+                                       "(repeatable), e.g. --warmup 600x600")
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--batch-window-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from rs_image_segmentation_tpu.serving.engine import (EngineConfig,
+                                                          InferenceEngine)
+    from rs_image_segmentation_tpu.serving.server import serve
+
+    if args.model:
+        from rs_image_segmentation_tpu.models.serialize import load_flat_forest
+        forest, depth = load_flat_forest(args.model)
+    else:
+        import jax.numpy as jnp
+
+        from rs_image_segmentation_tpu.core.config import CalibrationConfig
+        from rs_image_segmentation_tpu.io.tiff import read_tiff
+        from rs_image_segmentation_tpu.pipeline.features import (
+            hierarchical_stack_fused)
+        from rs_image_segmentation_tpu.pipeline.preprocess import (
+            preprocess_bands)
+        from rs_image_segmentation_tpu.tools.sampling import SampleSet
+        from rs_image_segmentation_tpu.tools.supervised import (
+            train_random_forest_from_samples)
+        cal = CalibrationConfig()
+        arr, _ = read_tiff(args.scene)
+        pre = preprocess_bands(arr, np.asarray(cal.gains),
+                               np.asarray(cal.biases))
+        stack = np.asarray(hierarchical_stack_fused(pre.astype(jnp.float32)))
+        coords, labels = SampleSet.load(args.samples)
+        x = np.nan_to_num(stack[coords[:, 1], coords[:, 0], :])
+        forest, depth = train_random_forest_from_samples(x, labels)
+
+    engine = InferenceEngine(
+        forest, depth,
+        engine_cfg=EngineConfig(max_batch=args.max_batch,
+                                batch_window_ms=args.batch_window_ms))
+    shapes = []
+    for spec in args.warmup:
+        h, _, w = spec.partition("x")
+        shapes.append((int(h), int(w)))
+    if shapes:
+        print(f"warming {shapes} ...", flush=True)
+        engine.warmup(shapes)
+    serve(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    serve_cli()

@@ -1,0 +1,316 @@
+"""Batching inference engine: a long-lived classifier process core.
+
+The reference has no serving story — classification is a one-shot script
+(`/root/reference/scripts/3_classification.py:267-505`). For production
+deployment the expensive things (forest tensorization, XLA compilation,
+device residency) must be paid once per process, not once per request,
+and concurrent requests for same-shaped scenes must coalesce into one
+device program: the turbo classifier (pipeline/turbo.py) vmaps per-scene
+statistics, so a batch of B scenes costs ~1/B of B single-scene programs
+under this environment's per-RPC tunnel latency.
+
+Design:
+
+* Requests enter a shape-keyed pending map; a single dispatch thread
+  drains the oldest shape group, waiting up to ``batch_window_ms`` for
+  stragglers of the same shape (classic dynamic batching).
+* The group pads UP to a compile *bucket* (default 1/2/4/8) by repeating
+  the last scene. Padding is exact: ``classify_scenes_turbo`` vmaps every
+  per-scene statistic (percentiles, PCA, GLCM normalizers), so scene i's
+  class map is independent of what else sits in the batch; padded outputs
+  are dropped. Buckets bound compile count per shape to len(buckets).
+* Per-(bucket, shape) programs compile on first use (persistent jax
+  cache applies) or ahead of time via :meth:`InferenceEngine.warmup`.
+* Forests too large for the GEMM form fall back to the standard
+  per-scene graph (models.forest.forest_predict over the fused stack).
+
+Results surface as ``concurrent.futures.Future``s; ``classify`` is the
+blocking convenience wrapper.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                   FeatureStageConfig)
+from rs_image_segmentation_tpu.models.forest import (FlatForest, _gemm_chunk,
+                                                     _gemm_for)
+from rs_image_segmentation_tpu.utils.log import get_logger
+
+_log = get_logger("serving")
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Dynamic-batching knobs."""
+    max_batch: int = 8                   # scenes per device program
+    batch_window_ms: float = 5.0         # wait for same-shape stragglers
+    buckets: Tuple[int, ...] = (1, 2, 4, 8)
+    latency_window: int = 256            # recent per-request latencies kept
+
+    def __post_init__(self):
+        if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
+            raise ValueError(f"buckets must be sorted unique: {self.buckets}")
+        if self.max_batch < self.buckets[-1]:
+            raise ValueError("max_batch smaller than the largest bucket")
+
+
+@dataclass
+class _Request:
+    scene: np.ndarray
+    future: Future
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class InferenceEngine:
+    """Long-lived scene classifier with dynamic batching.
+
+    Parameters
+    ----------
+    forest, depth:
+        A trained ``FlatForest`` (models.forest) and its max depth —
+        e.g. from ``tools.supervised.train_random_forest_from_samples``
+        or ``models.serialize.load_flat_forest``.
+    """
+
+    def __init__(self, forest: FlatForest, depth: int,
+                 cal: CalibrationConfig = CalibrationConfig(),
+                 cfg: FeatureStageConfig = FeatureStageConfig(),
+                 engine_cfg: EngineConfig = EngineConfig()):
+        self._forest = forest
+        self._depth = depth
+        self._cal = cal
+        self._cfg = cfg
+        self._ecfg = engine_cfg
+        self._gains = np.asarray(cal.gains)
+        self._biases = np.asarray(cal.biases)
+        self._gf = _gemm_for(forest, n_features=19)
+
+        self._lock = threading.Condition()
+        self._pending: "collections.OrderedDict[tuple, collections.deque]" = \
+            collections.OrderedDict()
+        self._closed = False
+        self._stats = {
+            "requests": 0, "batches": 0, "padded_scenes": 0,
+            "errors": 0, "batch_sizes": collections.Counter(),
+            "warm": set(),          # (bucket, (c, h, w)) that have run
+        }
+        self._latencies: collections.deque = collections.deque(
+            maxlen=engine_cfg.latency_window)
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name="rs-seg-dispatch", daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------- public
+
+    def submit(self, scene: np.ndarray) -> Future:
+        """Enqueue a raw uint8 ``(7, H, W)`` scene; resolves to the
+        ``(H, W)`` uint8 class map."""
+        scene = np.asarray(scene)
+        fut: Future = Future()
+        try:
+            self._validate(scene)
+        except Exception as e:
+            fut.set_exception(e)
+            return fut
+        req = _Request(np.ascontiguousarray(scene), fut)
+        with self._lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("engine is shut down"))
+                return fut
+            self._pending.setdefault(scene.shape, collections.deque()
+                                     ).append(req)
+            self._stats["requests"] += 1
+            self._lock.notify_all()
+        return fut
+
+    def classify(self, scene: np.ndarray, timeout: Optional[float] = None
+                 ) -> np.ndarray:
+        """Blocking single-scene convenience wrapper around :meth:`submit`."""
+        return self.submit(scene).result(timeout=timeout)
+
+    def warmup(self, shapes: Sequence[Tuple[int, int]],
+               buckets: Optional[Sequence[int]] = None) -> None:
+        """Compile programs for ``(H, W)`` scene shapes ahead of traffic.
+
+        Runs a dummy scene through every (bucket, shape) combination so
+        first real requests hit warm executables."""
+        buckets = tuple(buckets) if buckets is not None else self._ecfg.buckets
+        rng = np.random.default_rng(0)
+        for h, w in shapes:
+            # random content: a constant band would make the stretch LUT's
+            # min==max division degenerate (as it would in the reference)
+            scene = rng.integers(0, 256, (len(self._gains), h, w)
+                                 ).astype(np.uint8)
+            for b in buckets:
+                self._run_batch([scene] * b, bucket=b)
+                with self._lock:
+                    self._stats["warm"].add((b, scene.shape))
+
+    def stats(self) -> Dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            st = {
+                "requests": self._stats["requests"],
+                "batches": self._stats["batches"],
+                "padded_scenes": self._stats["padded_scenes"],
+                "errors": self._stats["errors"],
+                "pending": sum(len(q) for q in self._pending.values()),
+                "batch_sizes": dict(self._stats["batch_sizes"]),
+                "warm_programs": sorted(
+                    [b, list(s)] for b, s in self._stats["warm"]),
+                "gemm_forest": self._gf is not None,
+            }
+        if lat:
+            st["latency_s"] = {
+                "p50": lat[len(lat) // 2],
+                "p90": lat[min(len(lat) - 1, int(len(lat) * 0.9))],
+                "max": lat[-1],
+                "n": len(lat),
+            }
+        return st
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        """Stop the dispatch thread; pending requests fail."""
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            for q in self._pending.values():
+                for req in q:
+                    req.future.set_exception(
+                        RuntimeError("engine shut down"))
+            self._pending.clear()
+            self._lock.notify_all()
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self) -> "InferenceEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.shutdown()
+
+    # ------------------------------------------------------------ internal
+
+    def _validate(self, scene: np.ndarray) -> None:
+        nb = len(self._gains)
+        if scene.ndim != 3 or scene.shape[0] != nb:
+            raise ValueError(f"scene must be ({nb}, H, W), got {scene.shape}")
+        if scene.dtype != np.uint8:
+            raise ValueError(f"scene must be uint8 raw DNs (stage-1 input "
+                             f"contract), got {scene.dtype}")
+        if (scene.shape[1] < self._cfg.glcm.window_size
+                or scene.shape[2] < self._cfg.glcm.window_size):
+            raise ValueError(
+                f"scene {scene.shape[1]}x{scene.shape[2]} smaller than the "
+                f"GLCM window ({self._cfg.glcm.window_size})")
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            group: List[_Request] = []
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._lock.wait()
+                if self._closed:
+                    return
+                # oldest shape group first (OrderedDict insertion order)
+                shape = next(iter(self._pending))
+            # dynamic batching: linger up to batch_window_ms for stragglers
+            deadline = time.perf_counter() + self._ecfg.batch_window_ms / 1e3
+            while True:
+                with self._lock:
+                    q = self._pending.get(shape)
+                    while q and len(group) < self._ecfg.max_batch:
+                        group.append(q.popleft())
+                    if q is not None and not q:
+                        del self._pending[shape]
+                    if self._closed or len(group) >= self._ecfg.max_batch:
+                        break
+                    remaining = deadline - time.perf_counter()
+                    if remaining <= 0:
+                        break
+                    self._lock.wait(timeout=remaining)
+            if not group:
+                continue
+            try:
+                maps = self._run_batch([r.scene for r in group])
+                now = time.perf_counter()
+                with self._lock:
+                    for r in group:
+                        self._latencies.append(now - r.t_submit)
+                for r, m in zip(group, maps):
+                    r.future.set_result(m)
+            except Exception as e:   # surface per-request, keep serving
+                _log.exception("batch of %d failed", len(group))
+                with self._lock:
+                    self._stats["errors"] += len(group)
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self._ecfg.buckets:
+            if b >= n:
+                return b
+        return self._ecfg.buckets[-1]
+
+    def _run_batch(self, scenes: List[np.ndarray],
+                   bucket: Optional[int] = None) -> List[np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
+        from rs_image_segmentation_tpu.pipeline.preprocess import (
+            build_stretch_lut)
+
+        n = len(scenes)
+        b = bucket if bucket is not None else self._bucket_for(n)
+        # pad up by repeating the last scene: per-scene vmap makes the
+        # first n outputs bit-identical to an unpadded run
+        padded = list(scenes) + [scenes[-1]] * (b - n)
+        batch = np.stack(padded)
+        luts = np.stack([build_stretch_lut(s, self._gains, self._biases)
+                         for s in padded]).astype(np.uint8)
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batch_sizes"][n] += 1
+            self._stats["padded_scenes"] += b - n
+            self._stats["warm"].add((b, batch.shape[1:]))
+        if self._gf is not None:
+            from rs_image_segmentation_tpu.pipeline.turbo import (
+                classify_scenes_turbo)
+            maps = classify_scenes_turbo(jnp.asarray(batch),
+                                         jnp.asarray(luts), self._gf,
+                                         self._cfg)
+        else:
+            maps = self._fallback_batch(batch, luts)
+        out = np.asarray(maps)[:n]
+        return [out[i] for i in range(n)]
+
+    def _fallback_batch(self, batch: np.ndarray, luts: np.ndarray):
+        """Forests beyond the GEMM leaf cap: standard fused stack +
+        level-by-level traversal predict, per scene."""
+        import jax.numpy as jnp
+
+        from rs_image_segmentation_tpu.models.forest import forest_predict
+        from rs_image_segmentation_tpu.pipeline.features import (
+            hierarchical_stack_fused)
+        from rs_image_segmentation_tpu.pipeline.preprocess import _apply_lut
+
+        outs = []
+        for scene, lut in zip(batch, luts):
+            pre = _apply_lut(jnp.asarray(scene), jnp.asarray(lut))
+            stack = hierarchical_stack_fused(pre.astype(jnp.float32),
+                                             self._cfg)
+            pred = forest_predict(self._forest,
+                                  stack.reshape(-1, stack.shape[-1]),
+                                  self._depth)
+            outs.append(pred.reshape(stack.shape[:2]).astype(jnp.uint8))
+        return jnp.stack(outs)

@@ -1,0 +1,182 @@
+"""HTTP front-end for the batching inference engine. Stdlib only.
+
+Endpoints
+---------
+``GET  /healthz``          liveness + backend + queue depth
+``GET  /stats``            engine counters / latency percentiles
+``POST /warmup``           JSON ``{"shapes": [[H, W], ...], "buckets": [..]}``
+``POST /v1/classify``      body = scene; response = class map
+
+Classify content negotiation (request ``Content-Type``):
+
+* ``application/x-npy`` — body is ``np.save`` bytes of a ``(7, H, W)``
+  uint8 array; response is ``np.save`` bytes of the ``(H, W)`` uint8 map.
+* ``image/tiff`` — body is GeoTIFF bytes (the stage-1 raw-scene contract,
+  reference preprocessing.py:19-52); response is a GeoTIFF class map
+  carrying the input's geotransform/CRS (``?format=npy`` forces npy out).
+
+Because every worker thread only enqueues into the engine and blocks on a
+Future, concurrency is bounded by the engine's dynamic batching, not by
+the HTTP layer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Tuple
+
+import numpy as np
+
+from rs_image_segmentation_tpu.serving.engine import InferenceEngine
+from rs_image_segmentation_tpu.utils.log import get_logger
+
+_log = get_logger("serving.http")
+
+MAX_BODY = 1 << 30   # 1 GiB: a 36 MP x 7-band uint8 scene is ~252 MB
+
+
+def _npy_bytes(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def _load_npy(body: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # set by serve(); class attribute so ThreadingHTTPServer handlers see it
+    engine: InferenceEngine = None
+    protocol_version = "HTTP/1.1"
+
+    # ------------------------------------------------------------ plumbing
+    def log_message(self, fmt, *args):          # route through our logger
+        _log.debug("%s %s", self.address_string(), fmt % args)
+
+    def _send(self, code: int, body: bytes, ctype: str) -> None:
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode(), "application/json")
+
+    def _read_body(self) -> Optional[bytes]:
+        n = int(self.headers.get("Content-Length", 0))
+        if n <= 0:
+            self._send_json(411, {"error": "Content-Length required"})
+            return None
+        if n > MAX_BODY:
+            self._send_json(413, {"error": f"body over {MAX_BODY} bytes"})
+            return None
+        return self.rfile.read(n)
+
+    # ------------------------------------------------------------- routes
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+            st = self.engine.stats()
+            self._send_json(200, {"ok": True,
+                                  "backend": jax.default_backend(),
+                                  "pending": st["pending"]})
+        elif self.path == "/stats":
+            self._send_json(200, self.engine.stats())
+        else:
+            self._send_json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        path, _, query = self.path.partition("?")
+        try:
+            if path == "/warmup":
+                body = self._read_body()
+                if body is None:
+                    return
+                spec = json.loads(body)
+                shapes = [tuple(map(int, s)) for s in spec.get("shapes", [])]
+                self.engine.warmup(shapes, spec.get("buckets"))
+                self._send_json(200, {"warmed": shapes})
+            elif path == "/v1/classify":
+                self._classify(query)
+            else:
+                self._send_json(404, {"error": f"no route {path}"})
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_json(400, {"error": str(e)})
+        except Exception as e:                      # keep the server alive
+            _log.exception("request failed")
+            self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _classify(self, query: str) -> None:
+        body = self._read_body()
+        if body is None:
+            return
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        want_npy = "format=npy" in query
+        meta = None
+        if ctype == "image/tiff":
+            scene, meta = _read_tiff_bytes(body)
+        elif ctype in ("application/x-npy", "application/octet-stream", ""):
+            scene = _load_npy(body)
+        else:
+            self._send_json(415, {"error": f"unsupported Content-Type "
+                                           f"{ctype}"})
+            return
+        class_map = self.engine.classify(scene)
+        if meta is not None and not want_npy:
+            self._send(200, _write_tiff_bytes(class_map, meta), "image/tiff")
+        else:
+            self._send(200, _npy_bytes(class_map), "application/x-npy")
+
+
+def _read_tiff_bytes(body: bytes) -> Tuple[np.ndarray, object]:
+    from rs_image_segmentation_tpu.io.tiff import read_tiff
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        f.write(body)
+        tmp = f.name
+    try:
+        arr, info = read_tiff(tmp)
+        return arr, info.meta
+    finally:
+        os.unlink(tmp)
+
+
+def _write_tiff_bytes(class_map: np.ndarray, meta) -> bytes:
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        tmp = f.name
+    try:
+        write_tiff(tmp, class_map.astype(np.uint8)[None], meta,
+                   compression="lzw", tiled=True)
+        with open(tmp, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(tmp)
+
+
+def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
+                port: int = 8471) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``.server_address`` holds
+    the bound (host, port) — pass port 0 for an ephemeral one."""
+    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve(engine: InferenceEngine, host: str = "127.0.0.1",
+          port: int = 8471) -> None:
+    """Blocking serve loop (CLI entry); Ctrl-C shuts the engine down."""
+    httpd = make_server(engine, host, port)
+    _log.info("serving on http://%s:%d", *httpd.server_address[:2])
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+        engine.shutdown()
