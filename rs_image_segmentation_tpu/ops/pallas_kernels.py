@@ -360,3 +360,164 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
                     .at[l.astype(jnp.int32)].add(hr))(hist_raw, lut_u8)
     stretched = stretched_p.reshape(c, -1)[:, :n].reshape(c, h, w)
     return stretched, hist
+
+
+# --------------------------------------------- fused forest inference
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _forest_kernel(n_inner: int, bn: int, n_classes: int, sel_ref, thr_ref,
+                   path_ref, plen_ref, dist_ref, inv_ref, x_ref, out_ref):
+    """VMEM-resident GemmForest chain over one (F, n_inner*bn) strip.
+
+    The XLA lowering of models.forest's three-matmul chain materializes
+    the (M, N) comparison and (L, N) vote tensors in HBM (~15 GB at the
+    8-scene bench shape) because XLA cannot fuse across two matmuls;
+    measured 45 ms against ~6 ms of useful MXU work. Here the whole chain
+    lives in VMEM: only x is read and the argmax row written. The inner
+    fori_loop processes n_inner sub-blocks of bn pixels per grid step —
+    one grid step per sub-block was measured at ~30 us of fixed pipeline
+    overhead each, 5x the compute.
+
+    Exactness: the selector dot runs at f32 HIGHEST — with one-hot rows
+    the 6-pass bf16 decomposition reconstructs the selected feature value
+    bit-exactly (verified on hardware; a VPU select-accumulate loop gives
+    the same bits but measured 3x slower at F=19); the path dot is bf16
+    exact (operands in {-1,0,+1} with f32 accumulation); the leaf-dist
+    reduction is an exact f32 VPU sum."""
+    def body(j, _):
+        x = x_ref[:, pl.ds(j * bn, bn)]                    # (F, BN)
+        # exact selection in 3 single-pass bf16 dots: split x into three
+        # bf16-exact terms (8+8+8 mantissa bits covers f32's 24); sel is
+        # one-hot (bf16-exact), so each dot is exact and the f32 sum
+        # reconstructs the selected feature bit-for-bit. Half the MXU
+        # passes of precision=HIGHEST (which decomposes BOTH operands)
+        x_hi = x.astype(jnp.bfloat16)
+        r = x - x_hi.astype(jnp.float32)
+        x_mid = r.astype(jnp.bfloat16)
+        x_lo = (r - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        sel = sel_ref[:].astype(jnp.bfloat16)
+        acc = (jnp.dot(sel, x_hi, preferred_element_type=jnp.float32)
+               + jnp.dot(sel, x_mid, preferred_element_type=jnp.float32)
+               + jnp.dot(sel, x_lo, preferred_element_type=jnp.float32)
+               )                                           # (M_pad, BN)
+        s = jnp.where(acc <= thr_ref[:], 1.0, -1.0).astype(jnp.bfloat16)
+        votes = jnp.dot(path_ref[:], s,
+                        preferred_element_type=jnp.float32)  # (L_pad, BN)
+        fired = (votes == plen_ref[:]).astype(jnp.float32)
+        # leaf-dist contraction on the VPU: C is tiny, so the MXU form
+        # wastes >90% of its 128x128 output tile AND needs a 6-pass f32
+        # decomposition. dist rides as (L_pad, 8) so the per-class column
+        # broadcasts against fired with no transpose. Products are exact
+        # (dist f32 x fired in {0,1}); pad leaves have fired == 0
+        total = jnp.concatenate(
+            [jnp.sum(dist_ref[:, c:c + 1] * fired, axis=0, keepdims=True)
+             for c in range(n_classes)], axis=0)            # (C, BN)
+        total = total * inv_ref[0, 0]
+        # first-index argmax: Mosaic's jnp.argmax breaks ties by LAST
+        # index (measured: 1035/360k scene pixels flipped vs XLA/numpy/
+        # sklearn, exactly the top-2 tie population), so take min row
+        # among the maxima
+        mx = jnp.max(total, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, total.shape, 0)
+        out_ref[:, pl.ds(j * bn, bn)] = jnp.min(
+            jnp.where(total == mx, row, total.shape[0]),
+            axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_inner, body, 0)
+
+
+_FOREST_VMEM_BUDGET = 10 << 20   # leave headroom under the ~16 MB/core
+_FOREST_INNER = 16       # sub-blocks per grid step (amortizes step overhead)
+
+
+def forest_block_n(n_internal: int, n_leaves: int) -> int:
+    """Largest pixel sub-block size (multiple of 128, <= 1024) whose VMEM
+    working set fits the budget; 0 if even 128 does not fit (caller
+    falls back to the XLA route). Working set per sub-block column:
+    acc f32 + s bf16 over M_pad, votes+fired f32 over L_pad, plus the
+    double-buffered (F, bn*inner) input strip."""
+    m_pad = _round_up(max(n_internal, 1), _LANE)
+    l_pad = _round_up(max(n_leaves, 1), _LANE)
+    fixed = m_pad * l_pad * 2 + m_pad * 4 * 32              # weights + slack
+    for bn in (1024, 512, 256, 128):
+        work = bn * (m_pad * 6 + l_pad * 8 + 64 * 4)
+        strip = 2 * bn * _FOREST_INNER * 24 * 4             # x in/out buffers
+        if fixed + work + strip <= _FOREST_VMEM_BUDGET:
+            return bn
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
+                         interpret: bool = False) -> jnp.ndarray:
+    """GemmForest predict over channel-major features: (F, N) f32 ->
+    (N,) class labels, fused in one Pallas pass (no HBM intermediates).
+
+    Same decision chain as ``pipeline.turbo.gemm_labels_cm`` (reference
+    predict semantics: sklearn majority vote with lowest-class tie-break,
+    modules/features/extract.py:690-719); bit-equality with the XLA route
+    is asserted in tests on random forests and feature blocks."""
+    f, n = x_cm.shape
+    m = gf.selector.shape[1]
+    l, c = gf.leaf_dist.shape
+    m_pad = _round_up(m, _LANE)
+    l_pad = _round_up(l, _LANE)
+    bn = block_n
+    strip = bn * _FOREST_INNER
+    n_pad = (-n) % strip
+
+    sel_p = jnp.pad(gf.selector.astype(jnp.float32).T,
+                    ((0, m_pad - m), (0, 0)))               # (M_pad, F)
+    thr_p = jnp.pad(gf.thresholds.astype(jnp.float32)[:, None],
+                    ((0, m_pad - m), (0, 0)))               # (M_pad, 1)
+    path_p = jnp.pad(gf.path.T.astype(jnp.bfloat16),
+                     ((0, l_pad - l), (0, m_pad - m)))      # (L_pad, M_pad)
+    # pad leaves get path_len -1: their zero vote rows never "fire"
+    plen_p = jnp.pad(gf.path_len.astype(jnp.float32)[:, None],
+                     ((0, l_pad - l), (0, 0)), constant_values=-1.0)
+    # (L_pad, 8): pad leaves never fire, pad class columns are never read
+    dist_p = jnp.pad(gf.leaf_dist.astype(jnp.float32),
+                     ((0, l_pad - l), (0, 8 - c)))
+    inv = jnp.reshape(gf.inv_trees.astype(jnp.float32), (1, 1))
+    xp = jnp.pad(x_cm, ((0, 0), (0, n_pad)))
+
+    grid = (xp.shape[1] // strip,)
+    idx = pl.pallas_call(
+        functools.partial(_forest_kernel, _FOREST_INNER, bn, c),
+        out_shape=jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, m_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((f, strip), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, strip), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * xp.shape[1] * (m_pad * f + l_pad * m_pad + 8 * l_pad),
+            bytes_accessed=xp.size * 4 + xp.shape[1] * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(sel_p, thr_p, path_p, plen_p, dist_p, inv, xp)
+
+    # classes lookup without a gather: C <= 8 equality-select
+    cls = gf.classes.astype(jnp.int32)
+    out = jnp.zeros((idx.shape[1],), jnp.int32)
+    for k in range(c):
+        out = jnp.where(idx[0] == k, cls[k], out)
+    return out[:n]

@@ -249,7 +249,19 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
 
     Same three-matmul chain as ``models.forest._gemm_block_proba`` but
     transposed, so the pixel axis stays in lanes and the (*, F=19) operand
-    never materializes. Bit-matches the row-major GEMM (tested)."""
+    never materializes. Bit-matches the row-major GEMM (tested).
+
+    On TPU, forests whose padded working set fits VMEM route to the fused
+    Pallas kernel (ops.pallas_kernels.forest_labels_pallas): XLA cannot
+    fuse across the chain's two matmuls, so this lowering materializes the
+    (M, N) comparison and (L, N) vote tensors in HBM — measured 45 ms vs
+    5.6 ms fused at the 8-scene bench shape (identical labels)."""
+    if jax.default_backend() == "tpu":
+        from rs_image_segmentation_tpu.ops.pallas_kernels import (
+            forest_block_n, forest_labels_pallas)
+        bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0])
+        if bn:
+            return forest_labels_pallas(gf, x_cm, block_n=bn)
     f, n = x_cm.shape
     pad = (-n) % chunk
     xp = jnp.pad(x_cm, ((0, 0), (0, pad)))

@@ -83,3 +83,73 @@ def test_lut_hist_pallas_matches_xla(rng):
         assert np.array_equal(np.asarray(st), ref_st.astype(np.float32)), shape
         assert np.array_equal(np.asarray(hist).astype(np.int64),
                               ref_h.astype(np.int64)), shape
+
+
+def test_forest_labels_pallas_matches_gemm_route():
+    """Fused forest kernel == the XLA three-matmul route, bit-for-bit,
+    including argmax tie-breaking (Mosaic's argmax breaks ties by last
+    index; the kernel implements first-index explicitly)."""
+    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                         fit_random_forest)
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        forest_block_n, forest_labels_pallas)
+    from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+
+    rng = np.random.default_rng(7)
+    x = rng.random((64, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 64)
+    forest, _ = fit_random_forest(x, y, n_estimators=20, seed=0)
+    gf = _gemm_for(forest, 19)
+    assert forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0]) > 0
+
+    xc = jnp.asarray(rng.random((19, 7000)).astype(np.float32))
+    ref = np.asarray(gemm_labels_cm(gf, xc, 2048))
+    out = np.asarray(forest_labels_pallas(gf, xc, block_n=256,
+                                          interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_forest_labels_pallas_tie_break_is_first_index():
+    """Even-tree forests produce exact vote ties; sklearn (and the XLA
+    route) resolve them to the lowest class index."""
+    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                         fit_random_forest)
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        forest_labels_pallas)
+    from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+
+    rng = np.random.default_rng(11)
+    # 2 estimators + random labels -> frequent 1-1 vote splits
+    x = rng.random((32, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 32)
+    forest, _ = fit_random_forest(x, y, n_estimators=2, seed=1)
+    gf = _gemm_for(forest, 19)
+    xc = jnp.asarray(rng.random((19, 4096)).astype(np.float32))
+    ref = np.asarray(gemm_labels_cm(gf, xc, 1024))
+    out = np.asarray(forest_labels_pallas(gf, xc, block_n=128,
+                                          interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_forest_labels_pallas_fractional_leaf_dist():
+    """Impure leaves (contradictory duplicate samples) give fractional
+    leaf distributions; the kernel's VPU contraction must still match."""
+    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                         fit_random_forest)
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        forest_labels_pallas)
+    from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+
+    rng = np.random.default_rng(3)
+    x_half = rng.random((24, 19)).astype(np.float32)
+    x = np.concatenate([x_half, x_half])        # duplicates...
+    y = rng.integers(1, 4, 48)                  # ...with clashing labels
+    forest, _ = fit_random_forest(x, y, n_estimators=10, seed=2)
+    gf = _gemm_for(forest, 19)
+    assert not np.all(np.isin(np.asarray(gf.leaf_dist), (0.0, 1.0))), \
+        "fixture failed to produce impure leaves"
+    xc = jnp.asarray(rng.random((19, 4096)).astype(np.float32))
+    ref = np.asarray(gemm_labels_cm(gf, xc, 1024))
+    out = np.asarray(forest_labels_pallas(gf, xc, block_n=128,
+                                          interpret=True))
+    np.testing.assert_array_equal(out, ref)
