@@ -381,31 +381,30 @@ def _forest_kernel(n_inner: int, bn: int, n_classes: int, sel_ref, thr_ref,
     one grid step per sub-block was measured at ~30 us of fixed pipeline
     overhead each, 5x the compute.
 
-    Exactness: the selector dot runs at f32 HIGHEST — with one-hot rows
-    the 6-pass bf16 decomposition reconstructs the selected feature value
-    bit-exactly (verified on hardware; a VPU select-accumulate loop gives
-    the same bits but measured 3x slower at F=19); the path dot is bf16
-    exact (operands in {-1,0,+1} with f32 accumulation); the leaf-dist
-    reduction is an exact f32 VPU sum."""
+    Exactness: the selector dot is a single bf16 pass over a 3-term
+    bf16-exact split of x stacked along K (one-hot selector tripled) —
+    bit-equal to f32 selection, verified on hardware; the path dot runs
+    on the int8 MXU path with int32 accumulation (operands in {-1,0,+1},
+    exact); the leaf-dist reduction is an exact f32 VPU sum."""
     def body(j, _):
         x = x_ref[:, pl.ds(j * bn, bn)]                    # (F, BN)
-        # exact selection in 3 single-pass bf16 dots: split x into three
-        # bf16-exact terms (8+8+8 mantissa bits covers f32's 24); sel is
-        # one-hot (bf16-exact), so each dot is exact and the f32 sum
-        # reconstructs the selected feature bit-for-bit. Half the MXU
-        # passes of precision=HIGHEST (which decomposes BOTH operands)
+        # exact selection in ONE single-pass bf16 dot: split x into three
+        # bf16-exact terms (8+8+8 mantissa bits covers f32's 24) stacked
+        # along K against a tripled one-hot selector — every product is
+        # exact and the f32 MXU accumulation reconstructs the selected
+        # feature bit-for-bit, at 1/6 the passes of precision=HIGHEST
         x_hi = x.astype(jnp.bfloat16)
         r = x - x_hi.astype(jnp.float32)
         x_mid = r.astype(jnp.bfloat16)
         x_lo = (r - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        sel = sel_ref[:].astype(jnp.bfloat16)
-        acc = (jnp.dot(sel, x_hi, preferred_element_type=jnp.float32)
-               + jnp.dot(sel, x_mid, preferred_element_type=jnp.float32)
-               + jnp.dot(sel, x_lo, preferred_element_type=jnp.float32)
-               )                                           # (M_pad, BN)
-        s = jnp.where(acc <= thr_ref[:], 1.0, -1.0).astype(jnp.bfloat16)
+        x3 = jnp.concatenate([x_hi, x_mid, x_lo])          # (3F, BN)
+        acc = jnp.dot(sel_ref[:], x3,
+                      preferred_element_type=jnp.float32)  # (M_pad, BN)
+        # votes on the int8 MXU path (2x bf16 throughput): operands are
+        # {-1,0,+1}, accumulation int32 — exact by construction
+        s = jnp.where(acc <= thr_ref[:], 1, -1).astype(jnp.int8)
         votes = jnp.dot(path_ref[:], s,
-                        preferred_element_type=jnp.float32)  # (L_pad, BN)
+                        preferred_element_type=jnp.int32)  # (L_pad, BN)
         fired = (votes == plen_ref[:]).astype(jnp.float32)
         # leaf-dist contraction on the VPU: C is tiny, so the MXU form
         # wastes >90% of its 128x128 output tile AND needs a 6-pass f32
@@ -470,15 +469,16 @@ def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
     strip = bn * _FOREST_INNER
     n_pad = (-n) % strip
 
-    sel_p = jnp.pad(gf.selector.astype(jnp.float32).T,
-                    ((0, m_pad - m), (0, 0)))               # (M_pad, F)
+    sel1 = jnp.pad(gf.selector.astype(jnp.bfloat16).T,
+                   ((0, m_pad - m), (0, 0)))                # (M_pad, F)
+    sel_p = jnp.concatenate([sel1, sel1, sel1], axis=1)     # (M_pad, 3F)
     thr_p = jnp.pad(gf.thresholds.astype(jnp.float32)[:, None],
                     ((0, m_pad - m), (0, 0)))               # (M_pad, 1)
-    path_p = jnp.pad(gf.path.T.astype(jnp.bfloat16),
+    path_p = jnp.pad(gf.path.T.astype(jnp.int8),
                      ((0, l_pad - l), (0, m_pad - m)))      # (L_pad, M_pad)
     # pad leaves get path_len -1: their zero vote rows never "fire"
-    plen_p = jnp.pad(gf.path_len.astype(jnp.float32)[:, None],
-                     ((0, l_pad - l), (0, 0)), constant_values=-1.0)
+    plen_p = jnp.pad(gf.path_len.astype(jnp.int32)[:, None],
+                     ((0, l_pad - l), (0, 0)), constant_values=-1)
     # (L_pad, 8): pad leaves never fire, pad class columns are never read
     dist_p = jnp.pad(gf.leaf_dist.astype(jnp.float32),
                      ((0, l_pad - l), (0, 8 - c)))
@@ -491,7 +491,7 @@ def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
         out_shape=jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.int32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_pad, f), lambda i: (0, 0),
+            pl.BlockSpec((m_pad, 3 * f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
