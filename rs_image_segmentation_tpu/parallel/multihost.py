@@ -1,0 +1,119 @@
+"""Multi-host (multi-slice / DCN) execution support.
+
+SURVEY §2.7's collective-backend plan: XLA collectives ride ICI within a
+slice and DCN across slices via the jax distributed runtime — no external
+NCCL/MPI backend. This module wraps that runtime:
+
+* :func:`init_multihost` — process bootstrap. On a TPU pod slice the
+  environment provides everything (call with no arguments); for CPU-based
+  rehearsal (tests, CI) pass coordinator/process counts explicitly and
+  the per-process virtual device count.
+* :func:`global_mesh` — a Mesh over ALL processes' devices.
+* :func:`shard_local_batch` — per-host scene batches to one global array
+  sharded over the mesh's 'data' axis
+  (``jax.make_array_from_process_local_data``).
+* :func:`classify_batch_multihost` — the turbo classifier over a global
+  scene batch; every host feeds its local scenes and reads back exactly
+  its own class maps.
+
+The cross-process collective backend on CPU is Gloo (verified in this
+environment: 2 processes x 4 virtual devices form an 8-device global
+mesh; tests/test_multihost.py rehearses the full path).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def init_multihost(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None,
+                   local_device_count: Optional[int] = None,
+                   platform: Optional[str] = None) -> None:
+    """Initialize the jax distributed runtime for this process.
+
+    On a real TPU pod slice, call with no arguments (the TPU environment
+    supplies coordinator/process topology). For CPU rehearsal pass all
+    of coordinator_address/num_processes/process_id and optionally
+    ``local_device_count`` virtual CPU devices per process."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if local_device_count:
+        flag = f"--xla_force_host_platform_device_count={local_device_count}"
+        if flag not in os.environ.get("XLA_FLAGS", ""):
+            os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                       + " " + flag)
+        jax.config.update("jax_num_cpu_devices", local_device_count)
+    if coordinator_address is None:
+        jax.distributed.initialize()          # TPU pod: env-provided
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def global_mesh(axis_names: Tuple[str, ...] = ("data",),
+                shape: Optional[Tuple[int, ...]] = None):
+    """Mesh over every device of every process (row-major device order).
+
+    With the default 1-D shape the single axis spans all global devices;
+    multi-axis shapes must multiply to the global device count."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())
+    if shape is None:
+        shape = (devs.size,) + (1,) * (len(axis_names) - 1)
+    return Mesh(devs.reshape(shape), axis_names)
+
+
+def shard_local_batch(local_arrays: np.ndarray, mesh, axis: str = "data"):
+    """Per-host ``(B_local, ...)`` batch -> global jax.Array sharded over
+    ``axis`` (global batch = concatenation over process index order)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axis, *([None] * (np.ndim(local_arrays) - 1)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local_arrays))
+
+
+def local_shards(global_array) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in batch
+    order (the inverse of :func:`shard_local_batch`)."""
+    shards = sorted(global_array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def classify_batch_multihost(scenes_local: np.ndarray,
+                             luts_local: np.ndarray,
+                             gf, cfg, mesh) -> np.ndarray:
+    """Turbo-classify a multi-host scene batch.
+
+    Every process passes its local ``(B_local, 7, H, W)`` uint8 scenes
+    and ``(B_local, 7, 256)`` stretch LUTs; the batch shards over the
+    mesh's 'data' axis (DP across hosts AND devices), the forest rides
+    replicated, and each process receives its own ``(B_local, H, W)``
+    class maps back. Reference semantics identical to
+    ``pipeline.turbo.classify_scenes_turbo`` (tested bit-equal)."""
+    import functools
+
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
+
+    scenes_g = shard_local_batch(scenes_local, mesh)
+    luts_g = shard_local_batch(luts_local, mesh)
+    out_sh = NamedSharding(mesh, P("data", None, None))
+    fn = jax.jit(functools.partial(classify_scenes_turbo, cfg=cfg),
+                 out_shardings=out_sh)
+    maps = fn(scenes_g, luts_g, gf)
+    return local_shards(maps)
