@@ -86,10 +86,22 @@ def shard_local_batch(local_arrays: np.ndarray, mesh, axis: str = "data"):
 
 def local_shards(global_array) -> np.ndarray:
     """This process's rows of a batch-sharded global array, in batch
-    order (the inverse of :func:`shard_local_batch`)."""
-    shards = sorted(global_array.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    order (the inverse of :func:`shard_local_batch`). Replicated mesh
+    axes produce one shard per replica; duplicates are dropped."""
+    seen = set()
+    shards = []
+    for s in global_array.addressable_shards:
+        key = (s.index[0].start, s.index[0].stop)
+        if key not in seen:
+            seen.add(key)
+            shards.append(s)
+    shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+# compiled-program cache: (cfg, mesh, forest shapes, scene shape) -> fn.
+# Rebuilding jax.jit per call would re-trace every batch.
+_CLASSIFY_CACHE: dict = {}
 
 
 def classify_batch_multihost(scenes_local: np.ndarray,
@@ -101,19 +113,47 @@ def classify_batch_multihost(scenes_local: np.ndarray,
     and ``(B_local, 7, 256)`` stretch LUTs; the batch shards over the
     mesh's 'data' axis (DP across hosts AND devices), the forest rides
     replicated, and each process receives its own ``(B_local, H, W)``
-    class maps back. Reference semantics identical to
-    ``pipeline.turbo.classify_scenes_turbo`` (tested bit-equal)."""
+    class maps back. The global batch must divide the 'data' axis size.
+    Reference semantics identical to
+    ``pipeline.turbo.classify_scenes_turbo`` (tested bit-equal).
+
+    The per-device body runs under ``jax.shard_map`` (not GSPMD
+    auto-partitioning): on TPU the forest inference is a ``pallas_call``,
+    which has no SPMD partitioning rule — shard_map hands each device its
+    local block so the kernel never needs one."""
     import functools
 
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
 
     scenes_g = shard_local_batch(scenes_local, mesh)
     luts_g = shard_local_batch(luts_local, mesh)
-    out_sh = NamedSharding(mesh, P("data", None, None))
-    fn = jax.jit(functools.partial(classify_scenes_turbo, cfg=cfg),
-                 out_shardings=out_sh)
+    n_data = mesh.shape["data"]
+    if scenes_g.shape[0] % n_data:
+        raise ValueError(
+            f"global batch {scenes_g.shape[0]} does not divide the 'data' "
+            f"axis ({n_data} devices); pad the per-host batches")
+
+    key = (cfg, mesh, scenes_g.shape, gf.selector.shape, gf.path.shape,
+           gf.leaf_dist.shape)
+    fn = _CLASSIFY_CACHE.get(key)
+    if fn is None:
+        gf_specs = jax.tree.map(lambda _: P(), gf)
+
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("data"), P("data"), gf_specs),
+            out_specs=P("data"),
+            # pallas_call outputs carry no varying-mesh-axes annotation,
+            # which the default vma check rejects; the body is purely
+            # per-device (no collectives), so the check adds nothing
+            check_vma=False)
+        def fn(scenes, luts, gf_):
+            return classify_scenes_turbo(scenes, luts, gf_, cfg)
+
+        _CLASSIFY_CACHE[key] = fn
     maps = fn(scenes_g, luts_g, gf)
     return local_shards(maps)

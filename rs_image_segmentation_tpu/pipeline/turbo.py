@@ -256,7 +256,9 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
     fuse across the chain's two matmuls, so this lowering materializes the
     (M, N) comparison and (L, N) vote tensors in HBM — measured 45 ms vs
     5.6 ms fused at the 8-scene bench shape (identical labels)."""
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and gf.leaf_dist.shape[1] <= 8:
+        # >8 classes would need a wider pad in the kernel's (L_pad, 8)
+        # dist layout; such forests take the XLA route below
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             forest_block_n, forest_labels_pallas)
         bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0])

@@ -41,8 +41,7 @@ import numpy as np
 
 from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
                                                    FeatureStageConfig)
-from rs_image_segmentation_tpu.models.forest import (FlatForest, _gemm_chunk,
-                                                     _gemm_for)
+from rs_image_segmentation_tpu.models.forest import FlatForest, _gemm_for
 from rs_image_segmentation_tpu.utils.log import get_logger
 
 _log = get_logger("serving")
@@ -50,17 +49,24 @@ _log = get_logger("serving")
 
 @dataclass(frozen=True)
 class EngineConfig:
-    """Dynamic-batching knobs."""
+    """Dynamic-batching knobs. ``buckets`` is normalized against
+    ``max_batch``: buckets above it are dropped, and ``max_batch`` itself
+    is appended if absent — so every group size has a bucket and the
+    largest bucket is always reachable (any ``max_batch >= 1`` works)."""
     max_batch: int = 8                   # scenes per device program
     batch_window_ms: float = 5.0         # wait for same-shape stragglers
     buckets: Tuple[int, ...] = (1, 2, 4, 8)
     latency_window: int = 256            # recent per-request latencies kept
 
     def __post_init__(self):
+        if self.max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
         if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
             raise ValueError(f"buckets must be sorted unique: {self.buckets}")
-        if self.max_batch < self.buckets[-1]:
-            raise ValueError("max_batch smaller than the largest bucket")
+        eff = tuple(b for b in self.buckets if b <= self.max_batch)
+        if not eff or eff[-1] != self.max_batch:
+            eff = eff + (self.max_batch,)
+        object.__setattr__(self, "buckets", eff)
 
 
 @dataclass
@@ -151,7 +157,7 @@ class InferenceEngine:
             scene = rng.integers(0, 256, (len(self._gains), h, w)
                                  ).astype(np.uint8)
             for b in buckets:
-                self._run_batch([scene] * b, bucket=b)
+                self._run_batch([scene] * b, bucket=b, record_stats=False)
                 with self._lock:
                     self._stats["warm"].add((b, scene.shape))
 
@@ -263,7 +269,8 @@ class InferenceEngine:
         return self._ecfg.buckets[-1]
 
     def _run_batch(self, scenes: List[np.ndarray],
-                   bucket: Optional[int] = None) -> List[np.ndarray]:
+                   bucket: Optional[int] = None,
+                   record_stats: bool = True) -> List[np.ndarray]:
         import jax
         import jax.numpy as jnp
 
@@ -271,7 +278,13 @@ class InferenceEngine:
             build_stretch_lut)
 
         n = len(scenes)
-        b = bucket if bucket is not None else self._bucket_for(n)
+        # bucket padding only pays off for the vmapped turbo program; the
+        # traversal fallback classifies per scene, so padded duplicates
+        # would each cost full price there
+        if self._gf is None:
+            b = n
+        else:
+            b = bucket if bucket is not None else self._bucket_for(n)
         # pad up by repeating the last scene: per-scene vmap makes the
         # first n outputs bit-identical to an unpadded run
         padded = list(scenes) + [scenes[-1]] * (b - n)
@@ -279,9 +292,10 @@ class InferenceEngine:
         luts = np.stack([build_stretch_lut(s, self._gains, self._biases)
                          for s in padded]).astype(np.uint8)
         with self._lock:
-            self._stats["batches"] += 1
-            self._stats["batch_sizes"][n] += 1
-            self._stats["padded_scenes"] += b - n
+            if record_stats:
+                self._stats["batches"] += 1
+                self._stats["batch_sizes"][n] += 1
+                self._stats["padded_scenes"] += b - n
             self._stats["warm"].add((b, batch.shape[1:]))
         if self._gf is not None:
             from rs_image_segmentation_tpu.pipeline.turbo import (

@@ -63,6 +63,12 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        if code >= 400:
+            # error paths may leave an unread request body; on a keep-alive
+            # connection the next request line would be parsed out of body
+            # bytes, so force the connection closed
+            self.send_header("Connection", "close")
+            self.close_connection = True
         self.end_headers()
         self.wfile.write(body)
 

@@ -97,7 +97,14 @@ def test_engine_config_validation():
     with pytest.raises(ValueError, match="sorted unique"):
         EngineConfig(buckets=(4, 2))
     with pytest.raises(ValueError, match="max_batch"):
-        EngineConfig(max_batch=2, buckets=(1, 8))
+        EngineConfig(max_batch=0)
+    # buckets normalize against max_batch: oversize buckets drop, and
+    # max_batch itself is always the top bucket (so rs-seg-serve
+    # --max-batch N works for any N and no group can overflow bucketing)
+    assert EngineConfig(max_batch=4).buckets == (1, 2, 4)
+    assert EngineConfig(max_batch=2, buckets=(1, 8)).buckets == (1, 2)
+    assert EngineConfig(max_batch=16).buckets == (1, 2, 4, 8, 16)
+    assert EngineConfig(max_batch=3, buckets=(1, 2, 4, 8)).buckets == (1, 2, 3)
 
 
 def test_shutdown_rejects_new_work(forest):
