@@ -261,45 +261,47 @@ def fused_calibrate_stretch(bands: jnp.ndarray, gains: jnp.ndarray,
 
 # ------------------------------------------------- fused LUT + histogram
 
-_LUTHIST_BLKR = 40  # 128-px rows per program; one-hot = (40, 128, 128) f32
+_LUTHIST_BLKR = 40  # 128-px rows per program
 
 
-def _lut_hist_kernel(lut_ref, px_ref, out_ref, hist_ref):
+def _lut_hist_kernel(dt, t_ref, px_ref, out_ref, hist_ref):
     """One HBM pass producing the LUT-stretched block (f32, exact integer
     levels) AND the raw-DN histogram partial for the band.
 
-    The LUT application is the exact one-hot @ table matmul
-    (pipeline.turbo.apply_u8_lut_mxu); here the one-hot additionally
-    yields the histogram for free (column sums), so the XLA version's
-    second full read of the scene disappears. Pixels arrive pre-shaped
-    (BLKR, 128) so no in-kernel shape casts are needed (Mosaic rejects
-    sublane/lane-merging reshapes); the 256-entry table rides in an
-    (8, 128)-tiled buffer with rows 0-1 live."""
+    Bilinear 16x16 decomposition of the 256-entry table: a DN splits as
+    x = 16*h + l, so lut[x] = A_h^T T B_l with A/B 16-wide one-hots and
+    T = lut.reshape(16, 16). That is 32 one-hot planes per pixel instead
+    of 256 (measured 2.5x the full one-hot form, exactness unchanged):
+      * selection U[l] = sum_h T[h, l] A[h] is an MXU dot whose products
+        are exact (one-hot bf16 x u8-int-valued-bf16) and whose f32
+        accumulation has one nonzero term;
+      * the pixel value sum_l U[l] B[l] again has one nonzero term;
+      * the raw histogram is the joint count J[h, l] = A @ B^T, a
+        batched MXU matmul with integer-exact f32 accumulation
+        (block counts < 2^24), accumulated int32 across grid steps.
+    Pixels arrive pre-shaped (BLKR, 128) with the one-hot class dim in
+    SUBLANES — no lane-padding waste and no in-kernel reshapes (Mosaic
+    rejects sublane/lane-merging reshapes)."""
     x = px_ref[0].astype(jnp.int32)                         # (BLKR, 128)
-    lut8 = lut_ref[0]                                       # (8, 128) f32
+    hi = x >> 4
+    lo = x & 15
     iota = jax.lax.broadcasted_iota(
-        jnp.int32, x.shape + (128,), 2)                     # (BLKR,128,128)
-    oh_lo = (x[:, :, None] == iota).astype(jnp.bfloat16)
-    oh_hi = (x[:, :, None] == iota + 128).astype(jnp.bfloat16)
-
-    def matvec(oh, lut_row):
-        # rhs (1, 128) with the contracting dim last (Mosaic constraint);
-        # bf16 x bf16 -> f32: 0/1 indicators and integer table rows <= 255
-        # are exact in bf16
-        return jax.lax.dot_general(
-            oh, lut_row.astype(jnp.bfloat16), (((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)[:, :, 0]    # (BLKR, 128)
-
-    out_ref[0] = matvec(oh_lo, lut8[0:1]) + matvec(oh_hi, lut8[1:2])
-    # per-block counts are <= BLKR*128 (exact in f32) but the ACCUMULATED
-    # totals can pass 2^24 on big scenes, so the running sum is int32
-    cnt_lo = jnp.sum(oh_lo.astype(jnp.float32), axis=(0, 1)
-                     ).astype(jnp.int32)                    # (128,)
-    cnt_hi = jnp.sum(oh_hi.astype(jnp.float32), axis=(0, 1)
-                     ).astype(jnp.int32)
-    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    counts = (jnp.where(row == 0, cnt_lo[None, :], 0)
-              + jnp.where(row == 1, cnt_hi[None, :], 0))
+        jnp.int32, (x.shape[0], 16, 128), 1)
+    # dt = bf16 on TPU; f32 under interpret (XLA:CPU's DotThunk rejects
+    # bf16 x bf16 -> f32). Both are exact for 0/1 and u8-int operands.
+    a = (hi[:, None, :] == iota).astype(dt)                 # (BLKR,16,128)
+    b = (lo[:, None, :] == iota).astype(dt)
+    t = t_ref[0, :16, :16]                                  # (16h, 16l) f32
+    u = jax.lax.dot_general(t.astype(dt), a,
+                            (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (16l,BLKR,128)
+    out_ref[0] = jnp.sum(jnp.moveaxis(u, 0, 1) * b.astype(jnp.float32),
+                         axis=1)                            # (BLKR, 128)
+    j = jnp.sum(jax.lax.dot_general(a, b, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32),
+                axis=0)                                     # (16h, 16l)
+    counts = jnp.concatenate(
+        [j, jnp.zeros((16, 112), jnp.float32)], axis=1).astype(jnp.int32)
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -326,18 +328,20 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
     pad = (-n) % blk
     flat = jnp.pad(scene_u8.reshape(c, -1), ((0, 0), (0, pad)))
     px = flat.reshape(c, -1, 128)                           # (C, R, 128)
-    lut_tiled = jnp.zeros((c, 8, 128), jnp.float32
-                          ).at[:, :2, :].set(
-        lut_u8.astype(jnp.float32).reshape(c, 2, 128))
+    # T[h, l] = lut[16h + l], embedded in a (16, 128)-tiled buffer
+    lut_t = jnp.zeros((c, 16, 128), jnp.float32
+                      ).at[:, :, :16].set(
+        lut_u8.astype(jnp.float32).reshape(c, 16, 16))
 
     grid = (c, px.shape[1] // _LUTHIST_BLKR)
+    dt = jnp.float32 if interpret else jnp.bfloat16
     stretched_p, hist_t = pl.pallas_call(
-        _lut_hist_kernel,
+        functools.partial(_lut_hist_kernel, dt),
         out_shape=(jax.ShapeDtypeStruct(px.shape, jnp.float32),
-                   jax.ShapeDtypeStruct((c, 8, 128), jnp.int32)),
+                   jax.ShapeDtypeStruct((c, 16, 128), jnp.int32)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 16, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -345,13 +349,13 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
         out_specs=(
             pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, 16, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(lut_tiled, px)
+    )(lut_t, px)
 
-    hist_raw = hist_t[:, :2, :].reshape(c, 256)
+    hist_raw = hist_t[:, :, :16].reshape(c, 256)
     if pad:
         hist_raw = hist_raw.at[:, 0].add(-pad)
     # raw-DN -> stretched-value histogram: exact int32 scatter-add over
