@@ -324,7 +324,12 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
     match apply_u8_lut_mxu + histogram256 exactly (tested)."""
     c, h, w = scene_u8.shape
     n = h * w
-    blk = _LUTHIST_BLKR * 128
+    # per-step fixed overhead is ~20-30 us; small scenes keep blocks small
+    # (less padding), huge scenes need big blocks or the grid dominates
+    # (36 MP at BLKR=40 is 385k steps ~ 10 s of pure overhead). 256 is the
+    # VMEM ceiling: 512 tripped the 16 MB scoped-vmem limit at 23 MB
+    blkr = _LUTHIST_BLKR if n <= (1 << 22) else 256
+    blk = blkr * 128
     pad = (-n) % blk
     flat = jnp.pad(scene_u8.reshape(c, -1), ((0, 0), (0, pad)))
     px = flat.reshape(c, -1, 128)                           # (C, R, 128)
@@ -333,7 +338,7 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
                       ).at[:, :, :16].set(
         lut_u8.astype(jnp.float32).reshape(c, 16, 16))
 
-    grid = (c, px.shape[1] // _LUTHIST_BLKR)
+    grid = (c, px.shape[1] // blkr)
     dt = jnp.float32 if interpret else jnp.bfloat16
     stretched_p, hist_t = pl.pallas_call(
         functools.partial(_lut_hist_kernel, dt),
@@ -343,11 +348,11 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 16, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, blkr, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, _LUTHIST_BLKR, 128), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, blkr, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 16, 128), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
