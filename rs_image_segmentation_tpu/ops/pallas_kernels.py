@@ -264,9 +264,9 @@ def fused_calibrate_stretch(bands: jnp.ndarray, gains: jnp.ndarray,
 _LUTHIST_BLKR = 40  # 128-px rows per program
 
 
-def _lut_hist_kernel(dt, t_ref, px_ref, out_ref, hist_ref):
-    """One HBM pass producing the LUT-stretched block (f32, exact integer
-    levels) AND the raw-DN histogram partial for the band.
+def _lut_hist_kernel(dt, out_dt, t_ref, px_ref, out_ref, hist_ref):
+    """One HBM pass producing the LUT-stretched block (out_dt holding
+    exact integer levels) AND the raw-DN histogram partial for the band.
 
     Bilinear 16x16 decomposition of the 256-entry table: a DN splits as
     x = 16*h + l, so lut[x] = A_h^T T B_l with A/B 16-wide one-hots and
@@ -295,8 +295,12 @@ def _lut_hist_kernel(dt, t_ref, px_ref, out_ref, hist_ref):
     u = jax.lax.dot_general(t.astype(dt), a,
                             (((0,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (16l,BLKR,128)
-    out_ref[0] = jnp.sum(jnp.moveaxis(u, 0, 1) * b.astype(jnp.float32),
-                         axis=1)                            # (BLKR, 128)
+    val = jnp.sum(jnp.moveaxis(u, 0, 1) * b.astype(jnp.float32),
+                  axis=1)                                   # (BLKR, 128)
+    if out_dt == jnp.uint8:
+        # Mosaic has no direct f32->u8 cast; values are exact ints 0..255
+        val = val.astype(jnp.int32)
+    out_ref[0] = val.astype(out_dt)
     j = jnp.sum(jax.lax.dot_general(a, b, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32),
                 axis=0)                                     # (16h, 16l)
@@ -312,22 +316,30 @@ def _lut_hist_kernel(dt, t_ref, px_ref, out_ref, hist_ref):
         hist_ref[0] += counts
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_u8"))
 def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
-                    interpret: bool = False):
+                    interpret: bool = False, out_u8: bool = False):
     """(C, H, W) uint8 scene + (C, 256) uint8 LUT ->
-    (stretched (C, H, W) f32 holding exact uint8 levels,
+    (stretched (C, H, W) holding exact uint8 levels,
      stretched-value histogram (C, 256) int32).
+
+    The stretched output is f32 by default (what the turbo stack
+    consumes); ``out_u8=True`` writes uint8 straight from the kernel —
+    identical values, but a whole-scene preprocess avoids materializing
+    a 4x-sized f32 copy (at the 2 GiB device-resident cap the f32
+    intermediate plus its cast pass would overflow HBM).
 
     Padding reads as DN 0; the pad count is subtracted from the raw bin 0
     before the (tiny) raw->stretched histogram remap, so the outputs
-    match apply_u8_lut_mxu + histogram256 exactly (tested)."""
+    match apply_u8_lut_mxu + histogram256 exactly (tested, incl. the
+    large-block branch)."""
     c, h, w = scene_u8.shape
     n = h * w
     # per-step fixed overhead is ~20-30 us; small scenes keep blocks small
-    # (less padding), huge scenes need big blocks or the grid dominates
-    # (36 MP at BLKR=40 is 385k steps ~ 10 s of pure overhead). 256 is the
-    # VMEM ceiling: 512 tripped the 16 MB scoped-vmem limit at 23 MB
+    # (less padding), huge scenes need big blocks or the grid overhead
+    # shows (measured at 36 MP x 7 bands: 49k steps at BLKR=40 vs 7.7k at
+    # 256, several seconds apart). 256 is the VMEM ceiling: 512 tripped
+    # the 16 MB scoped-vmem limit at 23 MB
     blkr = _LUTHIST_BLKR if n <= (1 << 22) else 256
     blk = blkr * 128
     pad = (-n) % blk
@@ -340,9 +352,10 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
 
     grid = (c, px.shape[1] // blkr)
     dt = jnp.float32 if interpret else jnp.bfloat16
+    out_dt = jnp.uint8 if out_u8 else jnp.float32
     stretched_p, hist_t = pl.pallas_call(
-        functools.partial(_lut_hist_kernel, dt),
-        out_shape=(jax.ShapeDtypeStruct(px.shape, jnp.float32),
+        functools.partial(_lut_hist_kernel, dt, out_dt),
+        out_shape=(jax.ShapeDtypeStruct(px.shape, out_dt),
                    jax.ShapeDtypeStruct((c, 16, 128), jnp.int32)),
         grid=grid,
         in_specs=[

@@ -150,7 +150,10 @@ def preprocess_large(arr: np.ndarray,
         lut_u8 = lut_dev.astype(jnp.uint8)
 
         def apply(tile):
-            return lut_hist_pallas(tile, lut_u8)[0].astype(jnp.uint8)
+            # out_u8: the kernel writes uint8 directly — an f32
+            # intermediate would peak at ~10x scene bytes near the 2 GiB
+            # device-resident cap
+            return lut_hist_pallas(tile, lut_u8, out_u8=True)[0]
     else:
         def apply(tile):
             return _apply_lut(tile, lut_dev)

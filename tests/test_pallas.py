@@ -72,7 +72,10 @@ def test_lut_hist_pallas_matches_xla(rng):
     from rs_image_segmentation_tpu.ops.pallas_kernels import lut_hist_pallas
     from rs_image_segmentation_tpu.pipeline.turbo import (apply_u8_lut_mxu,
                                                           histogram256)
-    for shape in [(7, 50, 77), (3, 128, 128), (1, 600, 600)]:
+    # the last shape exceeds 2^22 px, exercising the large-block branch
+    # (blkr=256: different padding and per-block count bounds)
+    for shape in [(7, 50, 77), (3, 128, 128), (1, 600, 600),
+                  (1, 2050, 2048)]:
         scene = rng.integers(0, 256, shape).astype(np.uint8)
         lut = rng.integers(0, 256, (shape[0], 256)).astype(np.uint8)
         st, hist = lut_hist_pallas(jnp.asarray(scene), jnp.asarray(lut),
@@ -83,6 +86,12 @@ def test_lut_hist_pallas_matches_xla(rng):
         assert np.array_equal(np.asarray(st), ref_st.astype(np.float32)), shape
         assert np.array_equal(np.asarray(hist).astype(np.int64),
                               ref_h.astype(np.int64)), shape
+        # uint8-output variant (whole-scene preprocess path): same values
+        st8, hist8 = lut_hist_pallas(jnp.asarray(scene), jnp.asarray(lut),
+                                     interpret=True, out_u8=True)
+        assert st8.dtype == jnp.uint8
+        assert np.array_equal(np.asarray(st8), ref_st.astype(np.uint8)), shape
+        assert np.array_equal(np.asarray(hist8), np.asarray(hist)), shape
 
 
 def test_forest_labels_pallas_matches_gemm_route():
