@@ -15,6 +15,12 @@ def serve_cli(argv=None) -> None:
     p = argparse.ArgumentParser(description="Batching classification server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--method", default="random_forest",
+                   choices=("random_forest", "kmeans", "rule_based"),
+                   help="classification method (reference stage-3 trio); "
+                        "kmeans/rule_based need no model")
+    p.add_argument("--clusters", type=int, default=7,
+                   help="k for --method kmeans (reference default 7)")
     p.add_argument("--model", default=None,
                    help="npz forest (models.serialize.save_flat_forest)")
     p.add_argument("--samples", default="/root/reference/data/samples.pkl",
@@ -35,7 +41,9 @@ def serve_cli(argv=None) -> None:
                                                           InferenceEngine)
     from rs_image_segmentation_tpu.serving.server import serve
 
-    if args.model:
+    if args.method != "random_forest":
+        forest, depth = None, 0
+    elif args.model:
         from rs_image_segmentation_tpu.models.serialize import load_flat_forest
         forest, depth = load_flat_forest(args.model)
     else:
@@ -60,7 +68,7 @@ def serve_cli(argv=None) -> None:
         forest, depth = train_random_forest_from_samples(x, labels)
 
     engine = InferenceEngine(
-        forest, depth,
+        forest, depth, method=args.method, n_clusters=args.clusters,
         engine_cfg=EngineConfig(max_batch=args.max_batch,
                                 batch_window_ms=args.batch_window_ms))
     shapes = []

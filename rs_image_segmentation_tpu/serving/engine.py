@@ -79,26 +79,48 @@ class _Request:
 class InferenceEngine:
     """Long-lived scene classifier with dynamic batching.
 
+    Serves any of the reference's three classification methods
+    (3_classification.py:267-505): ``random_forest`` (default; needs a
+    trained forest), ``kmeans`` (unsupervised, k-means++ + Lloyd fused
+    end-to-end), or ``rule_based`` (threshold rules + on-device
+    morphology/connected-component post-processing). All three batch the
+    same way — per-scene vmap keeps bucket padding exact.
+
     Parameters
     ----------
     forest, depth:
         A trained ``FlatForest`` (models.forest) and its max depth —
         e.g. from ``tools.supervised.train_random_forest_from_samples``
-        or ``models.serialize.load_flat_forest``.
+        or ``models.serialize.load_flat_forest``. Only required for
+        ``method="random_forest"``.
     """
 
-    def __init__(self, forest: FlatForest, depth: int,
+    METHODS = ("random_forest", "kmeans", "rule_based")
+
+    def __init__(self, forest: Optional[FlatForest] = None,
+                 depth: int = 0,
                  cal: CalibrationConfig = CalibrationConfig(),
                  cfg: FeatureStageConfig = FeatureStageConfig(),
-                 engine_cfg: EngineConfig = EngineConfig()):
+                 engine_cfg: EngineConfig = EngineConfig(),
+                 method: str = "random_forest",
+                 n_clusters: int = 7, kmeans_seed: int = 42):
+        if method not in self.METHODS:
+            raise ValueError(f"method must be one of {self.METHODS}, "
+                             f"got {method!r}")
+        if method == "random_forest" and forest is None:
+            raise ValueError("random_forest serving needs a trained forest")
+        self._method = method
         self._forest = forest
         self._depth = depth
         self._cal = cal
         self._cfg = cfg
         self._ecfg = engine_cfg
+        self._n_clusters = n_clusters
+        self._kmeans_seed = kmeans_seed
         self._gains = np.asarray(cal.gains)
         self._biases = np.asarray(cal.biases)
-        self._gf = _gemm_for(forest, n_features=19)
+        self._gf = (_gemm_for(forest, n_features=19)
+                    if forest is not None else None)
 
         self._lock = threading.Condition()
         self._pending: "collections.OrderedDict[tuple, collections.deque]" = \
@@ -165,6 +187,7 @@ class InferenceEngine:
         with self._lock:
             lat = sorted(self._latencies)
             st = {
+                "method": self._method,
                 "requests": self._stats["requests"],
                 "batches": self._stats["batches"],
                 "padded_scenes": self._stats["padded_scenes"],
@@ -278,10 +301,11 @@ class InferenceEngine:
             build_stretch_lut)
 
         n = len(scenes)
-        # bucket padding only pays off for the vmapped turbo program; the
-        # traversal fallback classifies per scene, so padded duplicates
-        # would each cost full price there
-        if self._gf is None:
+        # bucket padding only pays off for the vmapped device programs;
+        # the traversal fallback (random_forest beyond the GEMM leaf cap)
+        # classifies per scene, so padded duplicates would each cost full
+        # price there
+        if self._method == "random_forest" and self._gf is None:
             b = n
         else:
             b = bucket if bucket is not None else self._bucket_for(n)
@@ -297,12 +321,26 @@ class InferenceEngine:
                 self._stats["batch_sizes"][n] += 1
                 self._stats["padded_scenes"] += b - n
             self._stats["warm"].add((b, batch.shape[1:]))
-        if self._gf is not None:
+        bd, ld = jnp.asarray(batch), jnp.asarray(luts)
+        if self._method == "kmeans":
+            import functools
+
+            from rs_image_segmentation_tpu.pipeline.turbo import (
+                kmeans_scenes_turbo)
+            maps = jax.vmap(functools.partial(
+                kmeans_scenes_turbo, n_clusters=self._n_clusters,
+                cfg=self._cfg, seed=self._kmeans_seed))(bd, ld)
+        elif self._method == "rule_based":
+            import functools
+
+            from rs_image_segmentation_tpu.pipeline.turbo import (
+                rule_based_scenes_turbo)
+            maps = jax.vmap(functools.partial(
+                rule_based_scenes_turbo, cfg=self._cfg))(bd, ld)
+        elif self._gf is not None:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 classify_scenes_turbo)
-            maps = classify_scenes_turbo(jnp.asarray(batch),
-                                         jnp.asarray(luts), self._gf,
-                                         self._cfg)
+            maps = classify_scenes_turbo(bd, ld, self._gf, self._cfg)
         else:
             maps = self._fallback_batch(batch, luts)
         out = np.asarray(maps)[:n]

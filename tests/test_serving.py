@@ -199,3 +199,62 @@ def test_concurrent_load_all_exact(engine, forest):
     # sanity: the engine actually coalesced at least some of the burst
     assert st["requests"] >= 12
     assert st["padded_scenes"] >= 0 and st["errors"] == 0
+
+
+def test_kmeans_method_engine():
+    """Unsupervised serving (reference stage-3 kmeans branch): engine
+    results equal the direct fused program, including under batching."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
+    from rs_image_segmentation_tpu.pipeline.turbo import kmeans_scenes_turbo
+
+    cal = CalibrationConfig()
+    scenes = _scenes(2, seed=21)
+    with InferenceEngine(method="kmeans", n_clusters=4, cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(max_batch=2,
+                                                 batch_window_ms=200.0,
+                                                 buckets=(1, 2))) as eng:
+        futs = [eng.submit(s) for s in scenes]
+        outs = [f.result(timeout=600) for f in futs]
+    for s, o in zip(scenes, outs):
+        lut = build_stretch_lut(s, np.asarray(cal.gains),
+                                np.asarray(cal.biases)).astype(np.uint8)
+        ref = np.asarray(kmeans_scenes_turbo(
+            jnp.asarray(s), jnp.asarray(lut), n_clusters=4, cfg=SMALL_CFG))
+        np.testing.assert_array_equal(o, ref)
+        assert set(np.unique(o)) <= set(range(1, 5))
+
+
+def test_rule_based_method_engine():
+    """Rule-based serving (reference stage-3 rule branch): engine results
+    equal the direct fused program; no model required."""
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
+    from rs_image_segmentation_tpu.pipeline.turbo import rule_based_scenes_turbo
+
+    cal = CalibrationConfig()
+    scene = _scenes(1, seed=22)[0]
+    with InferenceEngine(method="rule_based", cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(max_batch=1,
+                                                 buckets=(1,))) as eng:
+        out = eng.classify(scene, timeout=600)
+    lut = build_stretch_lut(scene, np.asarray(cal.gains),
+                            np.asarray(cal.biases)).astype(np.uint8)
+    ref = np.asarray(rule_based_scenes_turbo(jnp.asarray(scene),
+                                             jnp.asarray(lut),
+                                             cfg=SMALL_CFG))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_method_validation():
+    with pytest.raises(ValueError, match="method must be one of"):
+        InferenceEngine(method="svm")
+    with pytest.raises(ValueError, match="needs a trained forest"):
+        InferenceEngine(method="random_forest")
