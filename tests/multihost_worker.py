@@ -1,70 +1,13 @@
-"""Subprocess worker for tests/test_multihost.py — one distributed
-process of a CPU-rehearsed multi-host (DCN) run. Not a pytest file."""
+"""Thin shim: the real worker moved into the package
+(parallel/multihost_worker.py) so ``rs-seg-multihost-rehearse`` can spawn
+it; tests keep this path for spawn-by-file compatibility."""
 
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
-def main() -> None:
-    pid = int(sys.argv[1])
-    nproc = int(sys.argv[2])
-    port = sys.argv[3]
-
-    from rs_image_segmentation_tpu.parallel.multihost import (
-        classify_batch_multihost, global_mesh, init_multihost)
-    # 2 virtual CPU devices per process: the mesh spans processes (DCN
-    # analog) AND devices (ICI analog)
-    init_multihost(f"127.0.0.1:{port}", nproc, pid,
-                   local_device_count=2, platform="cpu")
-
-    import jax
-    import jax.numpy as jnp
-
-    from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
-                                                       FeatureStageConfig,
-                                                       GLCMConfig)
-    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
-                                                         fit_random_forest)
-    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
-    from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
-
-    assert jax.device_count() == 2 * nproc, jax.devices()
-    assert jax.process_count() == nproc
-
-    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=8, step_size=8,
-                                             levels=8))
-    cal = CalibrationConfig()
-    rng = np.random.default_rng(0)          # same stream on every process
-    b_local = 2
-    scenes = rng.integers(0, 256, (nproc * b_local, 7, 32, 32)
-                          ).astype(np.uint8)
-    xt = rng.random((64, 19)).astype(np.float32)
-    yt = rng.integers(1, 4, 64)
-    forest, _ = fit_random_forest(xt, yt, n_estimators=10, seed=0)
-    gf = _gemm_for(forest, 19)
-
-    luts = np.stack([build_stretch_lut(s, np.asarray(cal.gains),
-                                       np.asarray(cal.biases))
-                     for s in scenes]).astype(np.uint8)
-    lo, hi = pid * b_local, (pid + 1) * b_local
-
-    mesh = global_mesh(("data",))
-    maps_local = classify_batch_multihost(scenes[lo:hi], luts[lo:hi],
-                                          gf, cfg, mesh)
-
-    # reference: the same scenes through the single-process turbo program
-    ref = np.asarray(classify_scenes_turbo(jnp.asarray(scenes[lo:hi]),
-                                           jnp.asarray(luts[lo:hi]),
-                                           gf, cfg))
-    assert maps_local.shape == ref.shape, (maps_local.shape, ref.shape)
-    assert np.array_equal(maps_local, ref), \
-        f"[{pid}] multihost maps diverge: {(maps_local != ref).sum()} px"
-    print(f"MULTIHOST_OK {pid}", flush=True)
-
+from rs_image_segmentation_tpu.parallel.multihost_worker import main
 
 if __name__ == "__main__":
     main()
