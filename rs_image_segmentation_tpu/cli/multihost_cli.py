@@ -10,9 +10,10 @@ single-process program. On a real TPU pod the same code path runs with
 from __future__ import annotations
 
 import argparse
-import socket
+import os
 import subprocess
 import sys
+import time
 
 
 def multihost_rehearse_cli(argv=None) -> int:
@@ -23,14 +24,13 @@ def multihost_rehearse_cli(argv=None) -> int:
                    help="distributed processes to spawn")
     p.add_argument("--devices-per-process", type=int, default=2,
                    help="virtual CPU devices per process")
-    p.add_argument("--timeout", type=float, default=900.0)
+    p.add_argument("--timeout", type=float, default=900.0,
+                   help="overall wall-clock budget for the whole run")
     args = p.parse_args(argv)
 
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    from rs_image_segmentation_tpu.parallel.multihost import free_local_port
+    port = free_local_port()
 
-    import os
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)      # workers pin cpu via jax.config
     procs = [subprocess.Popen(
@@ -39,18 +39,36 @@ def multihost_rehearse_cli(argv=None) -> int:
          str(pid), str(args.nproc), str(port),
          str(args.devices_per_process)], env=env)
         for pid in range(args.nproc)]
-    rc = 0
-    try:
-        for pr in procs:
-            pr.wait(timeout=args.timeout)
-            rc |= pr.returncode
-    except subprocess.TimeoutExpired:
-        for pr in procs:
+
+    # one shared deadline; the moment any worker fails, kill the rest —
+    # peers blocked in jax.distributed.initialize would otherwise hang
+    # out the full timeout each
+    deadline = time.monotonic() + args.timeout
+    failed = None
+    live = list(procs)
+    while live and failed is None:
+        if time.monotonic() > deadline:
+            failed = ("timeout", None)
+            break
+        for pr in list(live):
+            rc = pr.poll()
+            if rc is None:
+                continue
+            live.remove(pr)
+            if rc != 0:
+                failed = (f"worker {procs.index(pr)}", rc)
+                break
+        time.sleep(0.2)
+    if failed:
+        for pr in live:
             pr.kill()
-        print("rehearsal timed out", file=sys.stderr)
-        return 2
-    print("multihost rehearsal", "OK" if rc == 0 else f"FAILED rc={rc}")
-    return rc
+        reason, rc = failed
+        print(f"multihost rehearsal FAILED ({reason}"
+              + (f", rc={rc}" if rc is not None else "") + ")",
+              file=sys.stderr)
+        return 2 if rc is None else (rc if rc > 0 else 1)
+    print("multihost rehearsal OK")
+    return 0
 
 
 if __name__ == "__main__":

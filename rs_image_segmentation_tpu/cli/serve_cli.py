@@ -42,6 +42,9 @@ def serve_cli(argv=None) -> None:
     from rs_image_segmentation_tpu.serving.server import serve
 
     if args.method != "random_forest":
+        if args.model:
+            p.error(f"--model is only meaningful with "
+                    f"--method random_forest (got --method {args.method})")
         forest, depth = None, 0
     elif args.model:
         from rs_image_segmentation_tpu.models.serialize import load_flat_forest

@@ -29,6 +29,19 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def free_local_port() -> int:
+    """An ephemeral 127.0.0.1 port for a rehearsal coordinator.
+
+    Inherently TOCTOU-racy (the port is released before the coordinator
+    rebinds it) — fine for local rehearsal, where a collision just fails
+    the run visibly; real pods get the coordinator address from the
+    environment instead."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None,

@@ -109,6 +109,9 @@ class InferenceEngine:
                              f"got {method!r}")
         if method == "random_forest" and forest is None:
             raise ValueError("random_forest serving needs a trained forest")
+        if method == "kmeans" and n_clusters < 2:
+            raise ValueError(f"kmeans needs n_clusters >= 2, "
+                             f"got {n_clusters}")
         self._method = method
         self._forest = forest
         self._depth = depth
@@ -322,21 +325,8 @@ class InferenceEngine:
                 self._stats["padded_scenes"] += b - n
             self._stats["warm"].add((b, batch.shape[1:]))
         bd, ld = jnp.asarray(batch), jnp.asarray(luts)
-        if self._method == "kmeans":
-            import functools
-
-            from rs_image_segmentation_tpu.pipeline.turbo import (
-                kmeans_scenes_turbo)
-            maps = jax.vmap(functools.partial(
-                kmeans_scenes_turbo, n_clusters=self._n_clusters,
-                cfg=self._cfg, seed=self._kmeans_seed))(bd, ld)
-        elif self._method == "rule_based":
-            import functools
-
-            from rs_image_segmentation_tpu.pipeline.turbo import (
-                rule_based_scenes_turbo)
-            maps = jax.vmap(functools.partial(
-                rule_based_scenes_turbo, cfg=self._cfg))(bd, ld)
+        if self._method != "random_forest":
+            maps = jax.vmap(self._per_scene_program())(bd, ld)
         elif self._gf is not None:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 classify_scenes_turbo)
@@ -345,6 +335,22 @@ class InferenceEngine:
             maps = self._fallback_batch(batch, luts)
         out = np.asarray(maps)[:n]
         return [out[i] for i in range(n)]
+
+    def _per_scene_program(self):
+        """The single-scene fused program for the non-forest methods
+        (vmapped by the caller; both are per-scene pure, so bucket
+        padding stays exact)."""
+        import functools
+
+        if self._method == "kmeans":
+            from rs_image_segmentation_tpu.pipeline.turbo import (
+                kmeans_scenes_turbo)
+            return functools.partial(kmeans_scenes_turbo,
+                                     n_clusters=self._n_clusters,
+                                     cfg=self._cfg, seed=self._kmeans_seed)
+        from rs_image_segmentation_tpu.pipeline.turbo import (
+            rule_based_scenes_turbo)
+        return functools.partial(rule_based_scenes_turbo, cfg=self._cfg)
 
     def _fallback_batch(self, batch: np.ndarray, luts: np.ndarray):
         """Forests beyond the GEMM leaf cap: standard fused stack +

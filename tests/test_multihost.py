@@ -5,23 +5,18 @@ bit-equal to the single-process program (SURVEY §2.7 collective-backend
 plan: jax distributed runtime, no external NCCL/MPI)."""
 
 import os
-import socket
 import subprocess
 import sys
 
 import pytest
 
+from rs_image_segmentation_tpu.parallel.multihost import free_local_port
+
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def test_two_process_global_mesh_classify():
-    port = _free_port()
+    port = free_local_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)       # worker sets cpu via jax.config
     procs = [subprocess.Popen(

@@ -258,3 +258,5 @@ def test_method_validation():
         InferenceEngine(method="svm")
     with pytest.raises(ValueError, match="needs a trained forest"):
         InferenceEngine(method="random_forest")
+    with pytest.raises(ValueError, match="n_clusters >= 2"):
+        InferenceEngine(method="kmeans", n_clusters=0)
