@@ -260,3 +260,29 @@ def test_method_validation():
         InferenceEngine(method="random_forest")
     with pytest.raises(ValueError, match="n_clusters >= 2"):
         InferenceEngine(method="kmeans", n_clusters=0)
+
+
+def test_engine_survives_batch_failure(forest):
+    """A batch that fails in-flight must surface per-request exceptions
+    and leave the engine serving (the dispatch thread must not die)."""
+    f, depth = forest
+    with InferenceEngine(f, depth, cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(max_batch=1,
+                                                 buckets=(1,))) as eng:
+        boom = {"left": 1}
+        orig = eng._run_batch
+
+        def flaky(scenes, bucket=None, record_stats=True):
+            if boom["left"]:
+                boom["left"] -= 1
+                raise RuntimeError("injected device failure")
+            return orig(scenes, bucket=bucket, record_stats=record_stats)
+
+        eng._run_batch = flaky
+        scene = _scenes(1, seed=30)[0]
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            eng.classify(scene, timeout=600)
+        assert eng.stats()["errors"] == 1
+        # next request must succeed on the same engine
+        out = eng.classify(scene, timeout=600)
+        np.testing.assert_array_equal(out, _direct(scene, forest))
