@@ -17,8 +17,9 @@ def serve_cli(argv=None) -> None:
     p.add_argument("--port", type=int, default=8471)
     p.add_argument("--method", default="random_forest",
                    choices=("random_forest", "kmeans", "rule_based"),
-                   help="classification method (reference stage-3 trio); "
-                        "kmeans/rule_based need no model")
+                   help="DEFAULT classification method (reference stage-3 "
+                        "trio); clients may override per request with "
+                        "?method=...; kmeans/rule_based need no model")
     p.add_argument("--clusters", type=int, default=7,
                    help="k for --method kmeans (reference default 7)")
     p.add_argument("--model", default=None,
@@ -31,8 +32,16 @@ def serve_cli(argv=None) -> None:
     p.add_argument("--warmup", action="append", default=[],
                    metavar="HxW", help="pre-compile for these scene shapes "
                                        "(repeatable), e.g. --warmup 600x600")
+    p.add_argument("--warmup-all-methods", action="store_true",
+                   help="warm every routable method for the --warmup "
+                        "shapes, not just the default one")
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--batch-window-ms", type=float, default=5.0)
+    p.add_argument("--max-pending", type=int, default=256,
+                   help="queued-scene cap before submissions get 503")
+    p.add_argument("--request-timeout", type=float, default=600.0,
+                   help="per-request device timeout in seconds (504 past "
+                        "it); 0 = wait forever")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -41,14 +50,13 @@ def serve_cli(argv=None) -> None:
                                                           InferenceEngine)
     from rs_image_segmentation_tpu.serving.server import serve
 
-    if args.method != "random_forest":
-        if args.model:
-            p.error(f"--model is only meaningful with "
-                    f"--method random_forest (got --method {args.method})")
-        forest, depth = None, 0
-    elif args.model:
+    if args.model:
+        # a forest enables random_forest routing even when the default
+        # method is kmeans/rule_based
         from rs_image_segmentation_tpu.models.serialize import load_flat_forest
         forest, depth = load_flat_forest(args.model)
+    elif args.method != "random_forest":
+        forest, depth = None, 0
     else:
         import jax.numpy as jnp
 
@@ -73,15 +81,20 @@ def serve_cli(argv=None) -> None:
     engine = InferenceEngine(
         forest, depth, method=args.method, n_clusters=args.clusters,
         engine_cfg=EngineConfig(max_batch=args.max_batch,
-                                batch_window_ms=args.batch_window_ms))
+                                batch_window_ms=args.batch_window_ms,
+                                max_pending=args.max_pending))
     shapes = []
     for spec in args.warmup:
         h, _, w = spec.partition("x")
         shapes.append((int(h), int(w)))
     if shapes:
-        print(f"warming {shapes} ...", flush=True)
-        engine.warmup(shapes)
-    serve(engine, args.host, args.port)
+        methods = (engine.available_methods() if args.warmup_all_methods
+                   else None)
+        print(f"warming {shapes} (methods: "
+              f"{methods or (args.method,)}) ...", flush=True)
+        engine.warmup(shapes, methods=methods)
+    serve(engine, args.host, args.port,
+          request_timeout=args.request_timeout or None)
 
 
 if __name__ == "__main__":

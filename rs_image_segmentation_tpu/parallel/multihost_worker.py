@@ -35,8 +35,16 @@ def run(pid: int, nproc: int, port: str,
     from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
     from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
 
-    assert jax.device_count() == devices_per_process * nproc, jax.devices()
-    assert jax.process_count() == nproc
+    # explicit raises, not assert: the rehearsal's pass/fail signal must
+    # survive python -O (asserts compile out and would turn the CLI and
+    # tests/test_multihost.py into a false pass)
+    if jax.device_count() != devices_per_process * nproc:
+        raise RuntimeError(
+            f"[{pid}] expected {devices_per_process * nproc} global "
+            f"devices, got {jax.device_count()}: {jax.devices()}")
+    if jax.process_count() != nproc:
+        raise RuntimeError(f"[{pid}] expected {nproc} processes, "
+                           f"got {jax.process_count()}")
 
     cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=8, step_size=8,
                                              levels=8))
@@ -63,9 +71,12 @@ def run(pid: int, nproc: int, port: str,
     ref = np.asarray(classify_scenes_turbo(jnp.asarray(scenes[lo:hi]),
                                            jnp.asarray(luts[lo:hi]),
                                            gf, cfg))
-    assert maps_local.shape == ref.shape, (maps_local.shape, ref.shape)
-    assert np.array_equal(maps_local, ref), \
-        f"[{pid}] multihost maps diverge: {(maps_local != ref).sum()} px"
+    if maps_local.shape != ref.shape:
+        raise RuntimeError(f"[{pid}] multihost shape mismatch: "
+                           f"{maps_local.shape} vs {ref.shape}")
+    if not np.array_equal(maps_local, ref):
+        raise RuntimeError(f"[{pid}] multihost maps diverge: "
+                           f"{(maps_local != ref).sum()} px")
     print(f"MULTIHOST_OK {pid}", flush=True)
 
 

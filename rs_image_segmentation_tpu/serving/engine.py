@@ -11,18 +11,28 @@ under this environment's per-RPC tunnel latency.
 
 Design:
 
-* Requests enter a shape-keyed pending map; a single dispatch thread
-  drains the oldest shape group, waiting up to ``batch_window_ms`` for
-  stragglers of the same shape (classic dynamic batching).
+* Requests enter a (method, shape)-keyed pending map; a single dispatch
+  thread drains the oldest group, waiting up to ``batch_window_ms`` for
+  stragglers of the same method+shape (classic dynamic batching). The
+  method is chosen **per request** — the reference picks it per
+  invocation too (`3_classification.py:267,605-624`) — so one engine and
+  one device-program cache serve mixed rf/kmeans/rule traffic.
 * The group pads UP to a compile *bucket* (default 1/2/4/8) by repeating
   the last scene. Padding is exact: ``classify_scenes_turbo`` vmaps every
   per-scene statistic (percentiles, PCA, GLCM normalizers), so scene i's
   class map is independent of what else sits in the batch; padded outputs
   are dropped. Buckets bound compile count per shape to len(buckets).
-* Per-(bucket, shape) programs compile on first use (persistent jax
-  cache applies) or ahead of time via :meth:`InferenceEngine.warmup`.
+* Per-(method, bucket, shape) programs compile on first use (persistent
+  jax cache applies) or ahead of time via :meth:`InferenceEngine.warmup`.
 * Forests too large for the GEMM form fall back to the standard
   per-scene graph (models.forest.forest_predict over the fused stack).
+* The pending queue is bounded (``EngineConfig.max_pending``): beyond it
+  ``submit`` fails fast with :class:`EngineSaturated` instead of letting
+  host memory grow without bound under a wedged device.
+* Futures are handled cancellation-safely: the dispatch loop claims each
+  request with ``Future.set_running_or_notify_cancel()`` and skips ones
+  a client cancelled while queued (e.g. after a client-side timeout), so
+  a cancelled future can never poison the rest of its batch.
 
 Results surface as ``concurrent.futures.Future``s; ``classify`` is the
 blocking convenience wrapper.
@@ -34,6 +44,7 @@ import collections
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FutureTimeoutError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -47,6 +58,11 @@ from rs_image_segmentation_tpu.utils.log import get_logger
 _log = get_logger("serving")
 
 
+class EngineSaturated(RuntimeError):
+    """Raised by ``submit`` when the pending queue is at ``max_pending``
+    — the fail-fast back-pressure signal (HTTP layer maps it to 503)."""
+
+
 @dataclass(frozen=True)
 class EngineConfig:
     """Dynamic-batching knobs. ``buckets`` is normalized against
@@ -57,12 +73,16 @@ class EngineConfig:
     batch_window_ms: float = 5.0         # wait for same-shape stragglers
     buckets: Tuple[int, ...] = (1, 2, 4, 8)
     latency_window: int = 256            # recent per-request latencies kept
+    max_pending: int = 256               # queued scenes before submit 503s
 
     def __post_init__(self):
         if self.max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {self.max_batch}")
         if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
             raise ValueError(f"buckets must be sorted unique: {self.buckets}")
+        if self.max_pending < 1:
+            raise ValueError(
+                f"max_pending must be >= 1, got {self.max_pending}")
         eff = tuple(b for b in self.buckets if b <= self.max_batch)
         if not eff or eff[-1] != self.max_batch:
             eff = eff + (self.max_batch,)
@@ -80,11 +100,14 @@ class InferenceEngine:
     """Long-lived scene classifier with dynamic batching.
 
     Serves any of the reference's three classification methods
-    (3_classification.py:267-505): ``random_forest`` (default; needs a
-    trained forest), ``kmeans`` (unsupervised, k-means++ + Lloyd fused
+    (3_classification.py:267-505): ``random_forest`` (needs a trained
+    forest), ``kmeans`` (unsupervised, k-means++ + Lloyd fused
     end-to-end), or ``rule_based`` (threshold rules + on-device
-    morphology/connected-component post-processing). All three batch the
-    same way — per-scene vmap keeps bucket padding exact.
+    morphology/connected-component post-processing). The constructor's
+    ``method`` is only the *default*; every :meth:`submit` /
+    :meth:`classify` may name its own, and one engine batches mixed
+    traffic per (method, shape) group. All three batch the same way —
+    per-scene vmap keeps bucket padding exact.
 
     Parameters
     ----------
@@ -92,7 +115,7 @@ class InferenceEngine:
         A trained ``FlatForest`` (models.forest) and its max depth —
         e.g. from ``tools.supervised.train_random_forest_from_samples``
         or ``models.serialize.load_flat_forest``. Only required for
-        ``method="random_forest"``.
+        requests with ``method="random_forest"``.
     """
 
     METHODS = ("random_forest", "kmeans", "rule_based")
@@ -109,7 +132,7 @@ class InferenceEngine:
                              f"got {method!r}")
         if method == "random_forest" and forest is None:
             raise ValueError("random_forest serving needs a trained forest")
-        if method == "kmeans" and n_clusters < 2:
+        if n_clusters < 2:
             raise ValueError(f"kmeans needs n_clusters >= 2, "
                              f"got {n_clusters}")
         self._method = method
@@ -126,13 +149,16 @@ class InferenceEngine:
                     if forest is not None else None)
 
         self._lock = threading.Condition()
+        # key = (method, scene.shape); value = FIFO of requests
         self._pending: "collections.OrderedDict[tuple, collections.deque]" = \
             collections.OrderedDict()
         self._closed = False
         self._stats = {
             "requests": 0, "batches": 0, "padded_scenes": 0,
-            "errors": 0, "batch_sizes": collections.Counter(),
-            "warm": set(),          # (bucket, (c, h, w)) that have run
+            "errors": 0, "cancelled": 0, "rejected": 0,
+            "batch_sizes": collections.Counter(),
+            "methods": collections.Counter(),
+            "warm": set(),          # (method, bucket, (c, h, w)) that ran
         }
         self._latencies: collections.deque = collections.deque(
             maxlen=engine_cfg.latency_window)
@@ -142,63 +168,109 @@ class InferenceEngine:
 
     # ------------------------------------------------------------- public
 
-    def submit(self, scene: np.ndarray) -> Future:
+    def available_methods(self) -> Tuple[str, ...]:
+        """Methods this engine can route (random_forest needs a forest)."""
+        if self._forest is not None:
+            return self.METHODS
+        return tuple(m for m in self.METHODS if m != "random_forest")
+
+    def submit(self, scene: np.ndarray,
+               method: Optional[str] = None) -> Future:
         """Enqueue a raw uint8 ``(7, H, W)`` scene; resolves to the
-        ``(H, W)`` uint8 class map."""
+        ``(H, W)`` uint8 class map. ``method`` overrides the engine
+        default for this request (reference 3_classification.py:267)."""
         scene = np.asarray(scene)
         fut: Future = Future()
         try:
+            method = self._resolve_method(method)
             self._validate(scene)
         except Exception as e:
             fut.set_exception(e)
             return fut
-        req = _Request(np.ascontiguousarray(scene), fut)
+        # copy: the batch may dispatch after the caller regains control,
+        # and a caller mutating its array must not corrupt the result
+        # (np.ascontiguousarray aliases already-contiguous input)
+        req = _Request(scene.copy(), fut)
         with self._lock:
             if self._closed:
                 fut.set_exception(RuntimeError("engine is shut down"))
                 return fut
-            self._pending.setdefault(scene.shape, collections.deque()
-                                     ).append(req)
+            n_pending = sum(len(q) for q in self._pending.values())
+            if n_pending >= self._ecfg.max_pending:
+                self._stats["rejected"] += 1
+                fut.set_exception(EngineSaturated(
+                    f"engine saturated: {n_pending} scenes pending "
+                    f"(max_pending={self._ecfg.max_pending})"))
+                return fut
+            self._pending.setdefault((method, scene.shape),
+                                     collections.deque()).append(req)
             self._stats["requests"] += 1
+            self._stats["methods"][method] += 1
             self._lock.notify_all()
         return fut
 
-    def classify(self, scene: np.ndarray, timeout: Optional[float] = None
-                 ) -> np.ndarray:
-        """Blocking single-scene convenience wrapper around :meth:`submit`."""
-        return self.submit(scene).result(timeout=timeout)
+    def classify(self, scene: np.ndarray, timeout: Optional[float] = None,
+                 method: Optional[str] = None) -> np.ndarray:
+        """Blocking single-scene convenience wrapper around :meth:`submit`.
+
+        On timeout the queued request is cancelled (so the dispatch loop
+        skips it) before the TimeoutError propagates."""
+        fut = self.submit(scene, method=method)
+        try:
+            return fut.result(timeout=timeout)
+        except FutureTimeoutError:
+            fut.cancel()
+            raise
 
     def warmup(self, shapes: Sequence[Tuple[int, int]],
-               buckets: Optional[Sequence[int]] = None) -> None:
+               buckets: Optional[Sequence[int]] = None,
+               methods: Optional[Sequence[str]] = None) -> None:
         """Compile programs for ``(H, W)`` scene shapes ahead of traffic.
 
-        Runs a dummy scene through every (bucket, shape) combination so
-        first real requests hit warm executables."""
+        Runs a dummy scene through every (method, bucket, shape)
+        combination so first real requests hit warm executables.
+        ``methods`` defaults to the engine's default method; pass
+        ``engine.available_methods()`` to warm everything routable.
+        Shapes are validated up front the same way ``submit`` validates
+        scenes, so a bad shape is a ValueError here, not an opaque
+        tracing error."""
         buckets = tuple(buckets) if buckets is not None else self._ecfg.buckets
+        methods = (tuple(methods) if methods is not None
+                   else (self._method,))
+        nb = len(self._gains)
+        for m in methods:
+            self._resolve_method(m)
+        for h, w in shapes:
+            # same dimension contract submit enforces
+            self._validate(np.zeros((nb, int(h), int(w)), np.uint8))
         rng = np.random.default_rng(0)
         for h, w in shapes:
             # random content: a constant band would make the stretch LUT's
             # min==max division degenerate (as it would in the reference)
-            scene = rng.integers(0, 256, (len(self._gains), h, w)
+            scene = rng.integers(0, 256, (nb, int(h), int(w))
                                  ).astype(np.uint8)
-            for b in buckets:
-                self._run_batch([scene] * b, bucket=b, record_stats=False)
-                with self._lock:
-                    self._stats["warm"].add((b, scene.shape))
+            for m in methods:
+                for b in buckets:
+                    self._run_batch([scene] * b, method=m, bucket=b,
+                                    record_stats=False)
 
     def stats(self) -> Dict:
         with self._lock:
             lat = sorted(self._latencies)
             st = {
                 "method": self._method,
+                "available_methods": list(self.available_methods()),
                 "requests": self._stats["requests"],
                 "batches": self._stats["batches"],
                 "padded_scenes": self._stats["padded_scenes"],
                 "errors": self._stats["errors"],
+                "cancelled": self._stats["cancelled"],
+                "rejected": self._stats["rejected"],
                 "pending": sum(len(q) for q in self._pending.values()),
                 "batch_sizes": dict(self._stats["batch_sizes"]),
+                "methods": dict(self._stats["methods"]),
                 "warm_programs": sorted(
-                    [b, list(s)] for b, s in self._stats["warm"]),
+                    [m, b, list(s)] for m, b, s in self._stats["warm"]),
                 "gemm_forest": self._gf is not None,
             }
         if lat:
@@ -218,8 +290,11 @@ class InferenceEngine:
             self._closed = True
             for q in self._pending.values():
                 for req in q:
-                    req.future.set_exception(
-                        RuntimeError("engine shut down"))
+                    # claim before failing: a future the client already
+                    # cancelled must not receive set_exception
+                    if req.future.set_running_or_notify_cancel():
+                        req.future.set_exception(
+                            RuntimeError("engine shut down"))
             self._pending.clear()
             self._lock.notify_all()
         self._thread.join(timeout=timeout)
@@ -231,6 +306,16 @@ class InferenceEngine:
         self.shutdown()
 
     # ------------------------------------------------------------ internal
+
+    def _resolve_method(self, method: Optional[str]) -> str:
+        method = method if method is not None else self._method
+        if method not in self.METHODS:
+            raise ValueError(f"method must be one of {self.METHODS}, "
+                             f"got {method!r}")
+        if method == "random_forest" and self._forest is None:
+            raise ValueError("random_forest requests need an engine "
+                             "constructed with a trained forest")
+        return method
 
     def _validate(self, scene: np.ndarray) -> None:
         nb = len(self._gains)
@@ -253,17 +338,24 @@ class InferenceEngine:
                     self._lock.wait()
                 if self._closed:
                     return
-                # oldest shape group first (OrderedDict insertion order)
-                shape = next(iter(self._pending))
+                # oldest (method, shape) group first (insertion order)
+                key = next(iter(self._pending))
+            method = key[0]
             # dynamic batching: linger up to batch_window_ms for stragglers
             deadline = time.perf_counter() + self._ecfg.batch_window_ms / 1e3
             while True:
                 with self._lock:
-                    q = self._pending.get(shape)
+                    q = self._pending.get(key)
                     while q and len(group) < self._ecfg.max_batch:
-                        group.append(q.popleft())
+                        req = q.popleft()
+                        # claim the future; skip ones cancelled while
+                        # queued (client timeout / disconnect)
+                        if req.future.set_running_or_notify_cancel():
+                            group.append(req)
+                        else:
+                            self._stats["cancelled"] += 1
                     if q is not None and not q:
-                        del self._pending[shape]
+                        del self._pending[key]
                     if self._closed or len(group) >= self._ecfg.max_batch:
                         break
                     remaining = deadline - time.perf_counter()
@@ -273,13 +365,15 @@ class InferenceEngine:
             if not group:
                 continue
             try:
-                maps = self._run_batch([r.scene for r in group])
+                maps = self._run_batch([r.scene for r in group],
+                                       method=method)
                 now = time.perf_counter()
                 with self._lock:
                     for r in group:
                         self._latencies.append(now - r.t_submit)
                 for r, m in zip(group, maps):
-                    r.future.set_result(m)
+                    if not r.future.done():
+                        r.future.set_result(m)
             except Exception as e:   # surface per-request, keep serving
                 _log.exception("batch of %d failed", len(group))
                 with self._lock:
@@ -295,6 +389,7 @@ class InferenceEngine:
         return self._ecfg.buckets[-1]
 
     def _run_batch(self, scenes: List[np.ndarray],
+                   method: Optional[str] = None,
                    bucket: Optional[int] = None,
                    record_stats: bool = True) -> List[np.ndarray]:
         import jax
@@ -303,12 +398,13 @@ class InferenceEngine:
         from rs_image_segmentation_tpu.pipeline.preprocess import (
             build_stretch_lut)
 
+        method = method if method is not None else self._method
         n = len(scenes)
         # bucket padding only pays off for the vmapped device programs;
         # the traversal fallback (random_forest beyond the GEMM leaf cap)
         # classifies per scene, so padded duplicates would each cost full
         # price there
-        if self._method == "random_forest" and self._gf is None:
+        if method == "random_forest" and self._gf is None:
             b = n
         else:
             b = bucket if bucket is not None else self._bucket_for(n)
@@ -323,10 +419,10 @@ class InferenceEngine:
                 self._stats["batches"] += 1
                 self._stats["batch_sizes"][n] += 1
                 self._stats["padded_scenes"] += b - n
-            self._stats["warm"].add((b, batch.shape[1:]))
+            self._stats["warm"].add((method, b, batch.shape[1:]))
         bd, ld = jnp.asarray(batch), jnp.asarray(luts)
-        if self._method != "random_forest":
-            maps = jax.vmap(self._per_scene_program())(bd, ld)
+        if method != "random_forest":
+            maps = jax.vmap(self._per_scene_program(method))(bd, ld)
         elif self._gf is not None:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 classify_scenes_turbo)
@@ -336,13 +432,13 @@ class InferenceEngine:
         out = np.asarray(maps)[:n]
         return [out[i] for i in range(n)]
 
-    def _per_scene_program(self):
+    def _per_scene_program(self, method: str):
         """The single-scene fused program for the non-forest methods
         (vmapped by the caller; both are per-scene pure, so bucket
         padding stays exact)."""
         import functools
 
-        if self._method == "kmeans":
+        if method == "kmeans":
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 kmeans_scenes_turbo)
             return functools.partial(kmeans_scenes_turbo,

@@ -4,7 +4,8 @@ Endpoints
 ---------
 ``GET  /healthz``          liveness + backend + queue depth
 ``GET  /stats``            engine counters / latency percentiles
-``POST /warmup``           JSON ``{"shapes": [[H, W], ...], "buckets": [..]}``
+``POST /warmup``           JSON ``{"shapes": [[H, W], ...], "buckets": [..],
+                           "methods": ["random_forest", ...]}``
 ``POST /v1/classify``      body = scene; response = class map
 
 Classify content negotiation (request ``Content-Type``):
@@ -15,9 +16,16 @@ Classify content negotiation (request ``Content-Type``):
   reference preprocessing.py:19-52); response is a GeoTIFF class map
   carrying the input's geotransform/CRS (``?format=npy`` forces npy out).
 
-Because every worker thread only enqueues into the engine and blocks on a
-Future, concurrency is bounded by the engine's dynamic batching, not by
-the HTTP layer.
+``?method=random_forest|kmeans|rule_based`` selects the classification
+method per request (the reference chooses per invocation,
+3_classification.py:267); omitted = the engine's default.
+
+Back-pressure: device-side concurrency is bounded by the engine's dynamic
+batching; host-side, the engine's bounded pending queue maps to **503**
+(EngineSaturated) and the per-request device timeout (``request_timeout``
+in :func:`make_server`) maps to **504** with the queued request cancelled
+— so wedged device programs cannot pin handler threads or accumulate
+unbounded scene bytes.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ import json
 import os
 import tempfile
 import threading
+import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
@@ -51,8 +60,10 @@ def _load_npy(body: bytes) -> np.ndarray:
 
 
 class _Handler(BaseHTTPRequestHandler):
-    # set by serve(); class attribute so ThreadingHTTPServer handlers see it
+    # set by serve(); class attributes so ThreadingHTTPServer handlers
+    # see them
     engine: InferenceEngine = None
+    request_timeout: Optional[float] = 600.0
     protocol_version = "HTTP/1.1"
 
     # ------------------------------------------------------------ plumbing
@@ -107,7 +118,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 spec = json.loads(body)
                 shapes = [tuple(map(int, s)) for s in spec.get("shapes", [])]
-                self.engine.warmup(shapes, spec.get("buckets"))
+                self.engine.warmup(shapes, spec.get("buckets"),
+                                   spec.get("methods"))
                 self._send_json(200, {"warmed": shapes})
             elif path == "/v1/classify":
                 self._classify(query)
@@ -120,11 +132,17 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def _classify(self, query: str) -> None:
+        from concurrent.futures import TimeoutError as FutureTimeoutError
+
+        from rs_image_segmentation_tpu.serving.engine import EngineSaturated
+
         body = self._read_body()
         if body is None:
             return
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
-        want_npy = "format=npy" in query
+        params = urllib.parse.parse_qs(query)
+        want_npy = params.get("format", [""])[0] == "npy"
+        method = params.get("method", [None])[0]
         meta = None
         if ctype == "image/tiff":
             scene, meta = _read_tiff_bytes(body)
@@ -134,7 +152,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(415, {"error": f"unsupported Content-Type "
                                            f"{ctype}"})
             return
-        class_map = self.engine.classify(scene)
+        try:
+            class_map = self.engine.classify(scene, method=method,
+                                             timeout=self.request_timeout)
+        except EngineSaturated as e:
+            self._send_json(503, {"error": str(e)})
+            return
+        except FutureTimeoutError:
+            self._send_json(504, {"error": f"classification exceeded "
+                                           f"{self.request_timeout}s"})
+            return
         if meta is not None and not want_npy:
             self._send(200, _write_tiff_bytes(class_map, meta), "image/tiff")
         else:
@@ -167,17 +194,23 @@ def _write_tiff_bytes(class_map: np.ndarray, meta) -> bytes:
 
 
 def make_server(engine: InferenceEngine, host: str = "127.0.0.1",
-                port: int = 8471) -> ThreadingHTTPServer:
+                port: int = 8471,
+                request_timeout: Optional[float] = 600.0
+                ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``.server_address`` holds
-    the bound (host, port) — pass port 0 for an ephemeral one."""
-    handler = type("BoundHandler", (_Handler,), {"engine": engine})
+    the bound (host, port) — pass port 0 for an ephemeral one.
+    ``request_timeout`` bounds how long a handler thread blocks on the
+    engine before answering 504 (None = wait forever)."""
+    handler = type("BoundHandler", (_Handler,),
+                   {"engine": engine, "request_timeout": request_timeout})
     return ThreadingHTTPServer((host, port), handler)
 
 
 def serve(engine: InferenceEngine, host: str = "127.0.0.1",
-          port: int = 8471) -> None:
+          port: int = 8471,
+          request_timeout: Optional[float] = 600.0) -> None:
     """Blocking serve loop (CLI entry); Ctrl-C shuts the engine down."""
-    httpd = make_server(engine, host, port)
+    httpd = make_server(engine, host, port, request_timeout)
     _log.info("serving on http://%s:%d", *httpd.server_address[:2])
     try:
         httpd.serve_forever()

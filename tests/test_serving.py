@@ -262,6 +262,266 @@ def test_method_validation():
         InferenceEngine(method="kmeans", n_clusters=0)
 
 
+# ------------------------------------------------- per-request method routing
+
+def _direct_kmeans(scene, n_clusters=4):
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
+    from rs_image_segmentation_tpu.pipeline.turbo import kmeans_scenes_turbo
+    cal = CalibrationConfig()
+    lut = build_stretch_lut(scene, np.asarray(cal.gains),
+                            np.asarray(cal.biases)).astype(np.uint8)
+    return np.asarray(kmeans_scenes_turbo(
+        jnp.asarray(scene), jnp.asarray(lut), n_clusters=n_clusters,
+        cfg=SMALL_CFG))
+
+
+def _direct_rule(scene):
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
+    from rs_image_segmentation_tpu.pipeline.turbo import rule_based_scenes_turbo
+    cal = CalibrationConfig()
+    lut = build_stretch_lut(scene, np.asarray(cal.gains),
+                            np.asarray(cal.biases)).astype(np.uint8)
+    return np.asarray(rule_based_scenes_turbo(jnp.asarray(scene),
+                                              jnp.asarray(lut),
+                                              cfg=SMALL_CFG))
+
+
+def test_mixed_method_traffic_one_engine(forest):
+    """VERDICT r2 #4: ONE engine serves interleaved rf/kmeans/rule_based
+    requests from multiple threads, every result exact per method."""
+    import concurrent.futures as cf
+
+    f, depth = forest
+    scenes = _scenes(12, seed=40)
+    methods = (["random_forest", "kmeans", "rule_based"] * 4)
+    refs = []
+    for s, m in zip(scenes, methods):
+        if m == "random_forest":
+            refs.append(_direct(s, forest))
+        elif m == "kmeans":
+            refs.append(_direct_kmeans(s))
+        else:
+            refs.append(_direct_rule(s))
+
+    with InferenceEngine(f, depth, cfg=SMALL_CFG, n_clusters=4,
+                         engine_cfg=EngineConfig(max_batch=4,
+                                                 batch_window_ms=50.0,
+                                                 buckets=(1, 2, 4))) as eng:
+        assert eng.available_methods() == (
+            "random_forest", "kmeans", "rule_based")
+        with cf.ThreadPoolExecutor(max_workers=6) as pool:
+            outs = list(pool.map(
+                lambda sm: eng.classify(sm[0], timeout=600, method=sm[1]),
+                zip(scenes, methods)))
+        st = eng.stats()
+    for o, r in zip(outs, refs):
+        np.testing.assert_array_equal(o, r)
+    assert st["errors"] == 0
+    assert set(st["methods"]) == {"random_forest", "kmeans", "rule_based"}
+    # programs for several methods ran through one engine's cache
+    assert len({m for m, _, _ in
+                [(w[0], w[1], tuple(w[2])) for w in st["warm_programs"]]}) == 3
+
+
+def test_per_request_method_without_forest_fails_fast():
+    with InferenceEngine(method="rule_based", cfg=SMALL_CFG) as eng:
+        assert eng.available_methods() == ("kmeans", "rule_based")
+        with pytest.raises(ValueError, match="trained forest"):
+            eng.submit(_scenes(1)[0], method="random_forest"
+                       ).result(timeout=10)
+        with pytest.raises(ValueError, match="method must be one of"):
+            eng.submit(_scenes(1)[0], method="svm").result(timeout=10)
+
+
+# --------------------------------------------- robustness (ADVICE r2 items)
+
+def test_cancelled_queued_future_does_not_poison_batch(forest):
+    """A future cancelled while queued must be skipped by the dispatch
+    loop; coalesced neighbors still get their maps (ADVICE r2 medium)."""
+    f, depth = forest
+    eng = InferenceEngine(f, depth, cfg=SMALL_CFG,
+                          engine_cfg=EngineConfig(max_batch=4,
+                                                  batch_window_ms=100.0,
+                                                  buckets=(1, 2, 4)))
+    try:
+        # block the dispatch thread on a first slow batch so subsequent
+        # submissions stay queued long enough to cancel one
+        ev = threading.Event()
+        orig = eng._run_batch
+
+        def gated(scenes, method=None, bucket=None, record_stats=True):
+            ev.wait(timeout=60)
+            return orig(scenes, method=method, bucket=bucket,
+                        record_stats=record_stats)
+
+        eng._run_batch = gated
+        blocker = eng.submit(_scenes(1, seed=50)[0])
+        # wait past the 100 ms window so the blocker's group closes
+        # (size 1) and wedges in gated before the next submissions
+        time.sleep(0.4)
+        scenes = _scenes(3, seed=51)
+        futs = [eng.submit(s) for s in scenes]
+        assert futs[1].cancel()              # cancel a queued request
+        ev.set()
+        outs = [futs[0].result(timeout=600), futs[2].result(timeout=600)]
+        blocker.result(timeout=600)
+        np.testing.assert_array_equal(outs[0], _direct(scenes[0], forest))
+        np.testing.assert_array_equal(outs[1], _direct(scenes[2], forest))
+        assert eng.stats()["errors"] == 0
+        assert eng.stats()["cancelled"] == 1
+    finally:
+        eng._run_batch = orig
+        eng.shutdown()
+
+
+def test_pending_queue_bound(forest):
+    """Beyond max_pending, submit fails fast with EngineSaturated
+    (ADVICE r2: unbounded host memory under a wedged device)."""
+    from rs_image_segmentation_tpu.serving.engine import EngineSaturated
+    f, depth = forest
+    eng = InferenceEngine(f, depth, cfg=SMALL_CFG,
+                          engine_cfg=EngineConfig(max_batch=1, buckets=(1,),
+                                                  max_pending=2))
+    try:
+        ev = threading.Event()
+        orig = eng._run_batch
+
+        def gated(scenes, method=None, bucket=None, record_stats=True):
+            ev.wait(timeout=60)
+            return orig(scenes, method=method, bucket=bucket,
+                        record_stats=record_stats)
+
+        eng._run_batch = gated
+        first = eng.submit(_scenes(1, seed=60)[0])
+        time.sleep(0.1)                      # dispatched (not pending)
+        queued = [eng.submit(s) for s in _scenes(2, seed=61)]
+        overflow = eng.submit(_scenes(1, seed=62)[0])
+        with pytest.raises(EngineSaturated, match="saturated"):
+            overflow.result(timeout=10)
+        assert eng.stats()["rejected"] == 1
+        ev.set()
+        for fut in [first] + queued:        # bounded queue still drains
+            assert fut.result(timeout=600).shape == (H, W)
+    finally:
+        eng._run_batch = orig
+        eng.shutdown()
+
+
+def test_warmup_validates_shapes(forest):
+    f, depth = forest
+    with InferenceEngine(f, depth, cfg=SMALL_CFG) as eng:
+        with pytest.raises(ValueError, match="GLCM window"):
+            eng.warmup([(4, 4)])
+        with pytest.raises(ValueError, match="method"):
+            eng.warmup([(H, W)], methods=["svm"])
+
+
+def test_scene_mutation_after_submit_is_safe(forest):
+    """The engine copies at enqueue: a client scribbling on its array
+    after submit must not change the result (exactness contract)."""
+    f, depth = forest
+    eng = InferenceEngine(f, depth, cfg=SMALL_CFG,
+                          engine_cfg=EngineConfig(max_batch=1, buckets=(1,)))
+    try:
+        ev = threading.Event()
+        orig = eng._run_batch
+
+        def gated(scenes, method=None, bucket=None, record_stats=True):
+            ev.wait(timeout=60)
+            return orig(scenes, method=method, bucket=bucket,
+                        record_stats=record_stats)
+
+        eng._run_batch = gated
+        scene = _scenes(1, seed=70)[0]
+        ref = _direct(scene.copy(), forest)
+        fut = eng.submit(scene)
+        scene[:] = 0                         # mutate after submit
+        ev.set()
+        np.testing.assert_array_equal(fut.result(timeout=600), ref)
+    finally:
+        eng._run_batch = orig
+        eng.shutdown()
+
+
+def test_http_method_routing_and_timeouts(forest):
+    """HTTP layer: ?method= routing, 504 on request timeout, 503 on
+    saturation — all against one engine."""
+    import urllib.error
+
+    from rs_image_segmentation_tpu.serving import client
+    from rs_image_segmentation_tpu.serving.server import make_server
+
+    import concurrent.futures as cf
+
+    f, depth = forest
+    eng = InferenceEngine(f, depth, cfg=SMALL_CFG, n_clusters=4,
+                          engine_cfg=EngineConfig(max_batch=2,
+                                                  batch_window_ms=5.0,
+                                                  buckets=(1, 2),
+                                                  max_pending=1))
+    httpd = make_server(eng, "127.0.0.1", 0, request_timeout=2.0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = "http://%s:%d" % httpd.server_address[:2]
+    ev = threading.Event()
+    orig = eng._run_batch
+    try:
+        # cold compiles exceed the 2 s request timeout; warm every method
+        # first (also exercises multi-method warmup, VERDICT r2 #5)
+        eng.warmup([(H, W)], buckets=(1,),
+                   methods=eng.available_methods())
+        scene = _scenes(1, seed=80)[0]
+        out = client.classify_array(base, scene, timeout=600,
+                                    method="rule_based")
+        np.testing.assert_array_equal(out, _direct_rule(scene))
+        out = client.classify_array(base, scene, timeout=600,
+                                    method="random_forest")
+        np.testing.assert_array_equal(out, _direct(scene, forest))
+
+        # wedge the engine -> timeout gives 504, saturation gives 503
+        def gated(scenes, method=None, bucket=None, record_stats=True):
+            ev.wait(timeout=60)
+            return orig(scenes, method=method, bucket=bucket,
+                        record_stats=record_stats)
+
+        eng._run_batch = gated
+        s1, s2 = _scenes(2, seed=81)
+        with cf.ThreadPoolExecutor(max_workers=2) as pool:
+            slow1 = pool.submit(client.classify_array, base, s1, 600)
+            time.sleep(0.4)   # dispatched, wedged inside gated
+            slow2 = pool.submit(client.classify_array, base, s2, 600)
+            time.sleep(0.4)   # queued; pending == max_pending
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                client.classify_array(base, scene, timeout=60)
+            assert ei.value.code == 503
+            for slow in (slow1, slow2):   # 2 s server timeout -> 504
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    slow.result()
+                assert ei.value.code == 504
+        eng._run_batch = orig
+        ev.set()
+        # wait for the wedged batch + cancelled leftovers to drain
+        # (max_pending=1: a still-queued scene would 503 the next submit)
+        deadline = time.time() + 60
+        while eng.stats()["pending"] and time.time() < deadline:
+            time.sleep(0.05)
+        # engine still serves after the wedge clears
+        out = client.classify_array(base, scene, timeout=600)
+        np.testing.assert_array_equal(out, _direct(scene, forest))
+    finally:
+        eng._run_batch = orig
+        ev.set()
+        httpd.shutdown()
+        httpd.server_close()
+        eng.shutdown()
+
+
 def test_engine_survives_batch_failure(forest):
     """A batch that fails in-flight must surface per-request exceptions
     and leave the engine serving (the dispatch thread must not die)."""
@@ -272,11 +532,12 @@ def test_engine_survives_batch_failure(forest):
         boom = {"left": 1}
         orig = eng._run_batch
 
-        def flaky(scenes, bucket=None, record_stats=True):
+        def flaky(scenes, method=None, bucket=None, record_stats=True):
             if boom["left"]:
                 boom["left"] -= 1
                 raise RuntimeError("injected device failure")
-            return orig(scenes, bucket=bucket, record_stats=record_stats)
+            return orig(scenes, method=method, bucket=bucket,
+                        record_stats=record_stats)
 
         eng._run_batch = flaky
         scene = _scenes(1, seed=30)[0]
