@@ -64,12 +64,13 @@ def main() -> None:
     gf = _gemm_for(forest, 19)
 
     t0 = time.perf_counter()
-    pre = preprocess_large(big, cal, return_device=True)
+    pre, hists = preprocess_large(big, cal, return_device=True,
+                                  return_hist=True)
     jax.device_get(pre[0, :1, :1])  # force completion for honest timing
     t_pre = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = classify_large_scene(pre, gf, cfg, tile_rows=504)
+    out = classify_large_scene(pre, gf, cfg, tile_rows=504, hists=hists)
     t_cls = time.perf_counter() - t0
 
     assert out.shape == (h, w) and set(np.unique(out)) <= {1, 2, 3}

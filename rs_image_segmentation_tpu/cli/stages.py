@@ -86,8 +86,13 @@ def classify_large(argv=None) -> None:
         preprocess_large)
 
     arr, info = read_tiff(args.scene)
+    hists = None
     if args.raw:
-        arr = preprocess_large(arr.astype(np.uint8))
+        # the Pallas preprocess computes stretched-value histograms as a
+        # byproduct; passing them on skips the classify pipeline's
+        # whole-scene histogram pass
+        arr, hists = preprocess_large(arr.astype(np.uint8),
+                                      return_hist=True)
     else:
         arr = arr.astype(np.uint8)
 
@@ -115,9 +120,11 @@ def classify_large(argv=None) -> None:
     gf = _gemm_for(forest, 19)
     if args.checkpoint_dir:
         result = classify_large_scene_resumable(
-            arr, gf, args.checkpoint_dir, tile_rows=args.tile_rows)
+            arr, gf, args.checkpoint_dir, tile_rows=args.tile_rows,
+            hists=hists)
     else:
-        result = classify_large_scene(arr, gf, tile_rows=args.tile_rows)
+        result = classify_large_scene(arr, gf, tile_rows=args.tile_rows,
+                                      hists=hists)
     import os
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     write_tiff(args.output, result.astype(np.uint8)[None], info.meta,

@@ -101,26 +101,31 @@ def compute_global_stats(arr: np.ndarray,
     levels = np.arange(256, dtype=np.float64)
     tb = cfg.texture_band_index
     for i in range(c):
-        p_lo = percentile_from_hist(hists[i], levels, lo_q)
-        p_hi = percentile_from_hist(hists[i], levels, hi_q)
-        stats.p_lo[i] = np.float32(p_lo)
-        stats.p_hi[i] = np.float32(p_hi)
-        # normalized value per level with the tile kernel's f32 arithmetic
-        lv = jnp.arange(256, dtype=jnp.float32)
-        norm = (jnp.clip(lv, stats.p_lo[i], stats.p_hi[i]) - stats.p_lo[i]) \
-            / np.float32(np.float32(stats.p_hi[i]) - np.float32(stats.p_lo[i])
-                         + np.float32(eps))
-        norm_np = np.asarray(norm, np.float64)
+        stats.p_lo[i] = np.float32(
+            percentile_from_hist(hists[i], levels, lo_q))
+        stats.p_hi[i] = np.float32(
+            percentile_from_hist(hists[i], levels, hi_q))
+    # normalized value per level with the tile kernel's f32 arithmetic —
+    # ONE vectorized device program + one fetch for all bands (a per-band
+    # loop was 2x c tunnel round trips, ~1.9 s at 36 MP; values identical:
+    # same elementwise ops, denominators still formed in host f32)
+    denom = (stats.p_hi.astype(np.float32) - stats.p_lo.astype(np.float32)
+             + np.float32(eps))
+    lv = jnp.arange(256, dtype=jnp.float32)
+    norm = (jnp.clip(lv[None, :], stats.p_lo[:, None], stats.p_hi[:, None])
+            - stats.p_lo[:, None]) / denom[:, None]
+    norm_np = np.asarray(norm, np.float64)
+    for i in range(c):
         stats.median[i] = np.float32(
-            percentile_from_hist(hists[i], norm_np, 50.0))
-        q1 = percentile_from_hist(hists[i], norm_np, 25.0)
-        q3 = percentile_from_hist(hists[i], norm_np, 75.0)
+            percentile_from_hist(hists[i], norm_np[i], 50.0))
+        q1 = percentile_from_hist(hists[i], norm_np[i], 25.0)
+        q3 = percentile_from_hist(hists[i], norm_np[i], 75.0)
         stats.iqr[i] = np.float32((q3 - q1) if (q3 - q1) > 0 else 1.0)
         if i == tb:
             stats.tex_lo = np.float32(
-                percentile_from_hist(hists[i], norm_np, lo_q))
+                percentile_from_hist(hists[i], norm_np[i], lo_q))
             stats.tex_hi = np.float32(
-                percentile_from_hist(hists[i], norm_np, hi_q))
+                percentile_from_hist(hists[i], norm_np[i], hi_q))
     return stats
 
 
@@ -129,11 +134,19 @@ def compute_global_stats(arr: np.ndarray,
 def preprocess_large(arr: np.ndarray,
                      cal: CalibrationConfig = CalibrationConfig(),
                      tile_rows: int = 2048,
-                     return_device: bool = False) -> np.ndarray:
+                     return_device: bool = False,
+                     return_hist: bool = False):
     """Stage 1 for scenes of any size: calibrate + global min/max stretch as
     an exact float64 per-DN lookup table (the uint8-input chain is a pure
     function of the DN; identical to ``pipeline.preprocess.preprocess_bands``
-    and to the reference's NumPy float64 math), applied tile-wise."""
+    and to the reference's NumPy float64 math), applied tile-wise.
+
+    ``return_hist=True`` returns ``(out, hists)`` where ``hists`` is the
+    (C, 256) int64 histogram of the STRETCHED scene when the backend
+    computes it for free (the Pallas LUT kernel's one-HBM-pass byproduct),
+    else ``(out, None)``. Feeding it to :func:`classify_large_scene` skips
+    that pipeline's whole histogram pass (8.5 s at 36 MP) — the counts are
+    identical by construction (tested against histogram256)."""
     from rs_image_segmentation_tpu.pipeline.preprocess import (
         _apply_lut, build_stretch_lut)
     c, h, w = arr.shape
@@ -153,25 +166,36 @@ def preprocess_large(arr: np.ndarray,
             # out_u8: the kernel writes uint8 directly — an f32
             # intermediate would peak at ~10x scene bytes near the 2 GiB
             # device-resident cap
-            return lut_hist_pallas(tile, lut_u8, out_u8=True)[0]
+            return lut_hist_pallas(tile, lut_u8, out_u8=True)
     else:
         def apply(tile):
-            return _apply_lut(tile, lut_dev)
+            return _apply_lut(tile, lut_dev), None
 
     src = _tile_src(arr)
     if isinstance(src, jnp.ndarray):
         # device-resident scene: ONE program, one optional fetch.
         # return_device keeps the result in HBM so a downstream
         # classify_large_scene skips a full D2H+H2D round trip
-        out = apply(src)
-        return out if return_device else np.asarray(out)
+        out, hist = apply(src)
+        if not return_device:
+            out = np.asarray(out)
+        if return_hist:
+            hist = (np.asarray(hist).astype(np.int64)
+                    if hist is not None else None)
+            return out, hist
+        return out
     # streaming (> DEVICE_RESIDENT_MAX_BYTES): per-tile host writeback so
     # device memory stays bounded — the whole point of this mode
     out = np.zeros((c, h, w), np.uint8)
+    hsum = None
     for y0 in range(0, h, tile_rows):
         ye = min(h, y0 + tile_rows)
-        out[:, y0:ye, :] = np.asarray(apply(_get_tile(src, y0, ye)))
-    return out
+        t_out, t_hist = apply(_get_tile(src, y0, ye))
+        out[:, y0:ye, :] = np.asarray(t_out)
+        if t_hist is not None:
+            t_hist = np.asarray(t_hist).astype(np.int64)
+            hsum = t_hist if hsum is None else hsum + t_hist
+    return (out, hsum) if return_hist else out
 
 
 # -------------------------------------------------- per-tile device kernels
@@ -185,50 +209,47 @@ def _normalize_tile(tile: jnp.ndarray, p_lo, p_hi,
     return (jnp.clip(x, lo, hi) - lo) / (hi - lo + eps)
 
 
-@jax.jit
-def _pca_accumulate(tile, p_lo, p_hi, median, iqr):
-    """Per-tile sums for global PCA over RobustScaler'd bands."""
-    norm = _normalize_tile(tile, p_lo, p_hi)
-    xs = (norm - median[:, None, None]) / iqr[:, None, None]
-    c = xs.shape[0]
-    flat = xs.reshape(c, -1)
-    s1 = jnp.sum(flat, axis=1)
-    s2 = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    return s1, s2
-
-
 def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
                     tile_rows: int, src=None) -> None:
+    """Host-driven global PCA fit over RobustScaler'd bands (fills
+    ``stats.pca_mean`` / ``stats.pca_comp1``). Used by
+    ``parallel.spatial``'s SPMD setup; the tiled classify pipeline folds
+    this into its merged pass B/C (:func:`_global_passes`), which
+    produces identical values."""
     src = _tile_src(arr) if src is None else src
     c, h, w = arr.shape
-    s1 = np.zeros(c, np.float64)
-    s2 = np.zeros((c, c), np.float64)
-    n = 0
     p_lo = jnp.asarray(stats.p_lo)
     p_hi = jnp.asarray(stats.p_hi)
     med = jnp.asarray(stats.median)
     iqr = jnp.asarray(stats.iqr)
+
+    @jax.jit
+    def accumulate(tile):
+        norm = _normalize_tile(tile, p_lo, p_hi)
+        xs = (norm - med[:, None, None]) / iqr[:, None, None]
+        flat = xs.reshape(c, -1)
+        return (jnp.sum(flat, axis=1),
+                jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST))
+
+    s1 = np.zeros(c, np.float64)
+    s2 = np.zeros((c, c), np.float64)
+    n = 0
     resident = isinstance(src, jnp.ndarray)
-    pend1, pend2 = [], []
+    pending = []
     for y0 in range(0, h, tile_rows):
         ye = min(h, y0 + tile_rows)
-        t1, t2 = _pca_accumulate(_get_tile(src, y0, ye), p_lo, p_hi, med,
-                                 iqr)
+        res = accumulate(_get_tile(src, y0, ye))
         n += (ye - y0) * w
         if resident:
-            pend1.append(t1)
-            pend2.append(t2)
-        else:
-            # streaming: fetch per tile so in-flight buffers stay bounded
-            s1 += np.asarray(t1, np.float64)
-            s2 += np.asarray(t2, np.float64)
-    if resident:
-        # ONE fetch of the stacked per-tile sums (numerics unchanged: the
-        # f64 accumulation still happens on host, per tile)
-        for t1 in np.asarray(jnp.stack(pend1), np.float64):
+            pending.append(res)
+        else:   # streaming: fetch per tile so in-flight buffers stay bounded
+            s1 += np.asarray(res[0], np.float64)
+            s2 += np.asarray(res[1], np.float64)
+    if pending:  # ONE fetch; f64 accumulation still per tile in order
+        for t1 in np.asarray(jnp.stack([r[0] for r in pending]), np.float64):
             s1 += t1
-        for t2 in np.asarray(jnp.stack(pend2), np.float64):
+        for t2 in np.asarray(jnp.stack([r[1] for r in pending]), np.float64):
             s2 += t2
     mean = s1 / n
     cov = (s2 - n * np.outer(mean, mean)) / (n - 1)
@@ -241,6 +262,46 @@ def _fit_global_pca(arr: np.ndarray, stats: GlobalStats,
 
 
 # -------------------------------------------------- GLCM global grid
+
+@functools.partial(jax.jit,
+                   static_argnames=("lo", "rows", "glcm_rows", "levels",
+                                    "window", "step", "angles", "tb",
+                                    "n_j"))
+def _tile_globals(tile, p_lo, p_hi, med, iqr, tex_lo, tex_hi, *,
+                  lo: int, rows: int, glcm_rows: int, levels: int,
+                  window: int, step: int, angles, tb: int, n_j: int):
+    """Merged pass-B/C per-tile program (PCA sums + GLCM grid + sobel
+    max). The tile spans [max(0, y0-1), min(h, y0+rows+1)); the interior
+    rows [lo, lo+rows) are exactly the PCA/GLCM rows of the unmerged
+    passes and the full slice is exactly the old sobel-pass slice.
+
+    Statistics arrive as ARGUMENTS, not closure constants: a closed-over
+    concrete array is embedded in the HLO, so every new scene would be a
+    persistent-cache miss and a full recompile (minutes through this
+    environment's remote compile service)."""
+    c = tile.shape[0]
+    interior = tile[:, lo:lo + rows, :]
+    norm = _normalize_tile(interior, p_lo, p_hi)
+    xs = (norm - med[:, None, None]) / iqr[:, None, None]
+    flat = xs.reshape(c, -1)
+    s1 = jnp.sum(flat, axis=1)
+    s2 = jnp.dot(flat, flat.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+
+    nir_full = _normalize_tile(tile, p_lo, p_hi)[tb]
+    tex_full = (jnp.clip(nir_full, tex_lo, tex_hi) - tex_lo) \
+        / (tex_hi - tex_lo + 1e-10)
+    u8 = (tex_full * 255.0).astype(jnp.uint8)
+    smax = jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
+
+    if glcm_rows > 0:
+        con, hom = _tile_glcm_grid(tex_full[lo:lo + rows],
+                                   levels, window, step, angles)
+    else:
+        con = jnp.zeros((0, n_j), jnp.float32)
+        hom = jnp.zeros((0, n_j), jnp.float32)
+    return s1, s2, con, hom, smax
+
 
 @functools.partial(jax.jit, static_argnames=("levels", "window", "step",
                                              "angles"))
@@ -381,79 +442,120 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
 
 
 def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
-                   tile_rows: int, src=None) -> dict:
+                   tile_rows: int, src=None,
+                   hists: Optional[np.ndarray] = None) -> dict:
     """Passes A-C as a dict of plain numpy arrays — checkpointable, so a
-    resumed run skips them (SURVEY §5 failure-detection row)."""
+    resumed run skips them (SURVEY §5 failure-detection row).
+
+    ``hists``: precomputed (C, 256) stretched-value histograms (e.g. the
+    Pallas preprocess byproduct from ``preprocess_large(return_hist=True)``)
+    — skips the whole pass-A histogram sweep.
+
+    Passes B and C run as ONE program per tile (PCA sums + GLCM window
+    grid + tile sobel max from a single tile read): per-program dispatch
+    costs ~100+ ms on this environment's device tunnel, so three separate
+    sweeps were 3x the round trips for identical math. Every per-tile
+    quantity is computed from exactly the rows the separate passes read
+    (interior for PCA/GLCM, +-1-row slice for sobel), so results are
+    bit-identical to the unmerged passes."""
     step = cfg.glcm.step_size
     if tile_rows % step:
         raise ValueError(f"tile_rows must be a multiple of {step}")
     c, h, w = arr.shape
     src = _tile_src(arr) if src is None else src
-    if isinstance(src, jnp.ndarray):
-        # device eq-reduce histogram beats host bincount over big scenes
-        # (measured 4s -> ms at 36 MP), exact int32 counts either way.
-        # Tiled: the eq-reduce does not fuse at whole-scene sizes (XLA
-        # tried to materialize the (C,256,N) compare — 60 GB at 36 MP)
-        from rs_image_segmentation_tpu.pipeline.turbo import histogram256
-        parts = [histogram256(_get_tile(src, y0, min(h, y0 + tile_rows)))
-                 for y0 in range(0, h, tile_rows)]
-        hists = np.asarray(
-            jnp.sum(jnp.stack(parts), axis=0)).astype(np.int64)
-    else:
-        hists = band_histograms_u8(arr)
+    if hists is None:
+        if isinstance(src, jnp.ndarray):
+            # device eq-reduce histogram beats host bincount over big
+            # scenes (measured 4s -> ms at 36 MP), exact int32 counts
+            # either way. Tiled: the eq-reduce does not fuse at
+            # whole-scene sizes (XLA tried to materialize the (C,256,N)
+            # compare — 60 GB at 36 MP)
+            from rs_image_segmentation_tpu.pipeline.turbo import histogram256
+            parts = [histogram256(_get_tile(src, y0, min(h, y0 + tile_rows)))
+                     for y0 in range(0, h, tile_rows)]
+            hists = np.asarray(
+                jnp.sum(jnp.stack(parts), axis=0)).astype(np.int64)
+        else:
+            hists = band_histograms_u8(arr)
     stats = compute_global_stats(arr, cfg, hists=hists)
-    _fit_global_pca(arr, stats, tile_rows, src=src)
 
-    n_i = (h - cfg.glcm.window_size) // step + 1
-    n_j = (w - cfg.glcm.window_size) // step + 1
+    window = cfg.glcm.window_size
+    n_i = (h - window) // step + 1
+    n_j = (w - window) // step + 1
     contrast_grid = np.zeros((n_i, n_j), np.float32)
     homog_grid = np.zeros((n_i, n_j), np.float32)
     p_lo = jnp.asarray(stats.p_lo)
     p_hi = jnp.asarray(stats.p_hi)
+    med = jnp.asarray(stats.median)
+    iqr = jnp.asarray(stats.iqr)
     tex_lo = np.float32(stats.tex_lo)
     tex_hi = np.float32(stats.tex_hi)
     tb = cfg.texture_band_index
 
-    @jax.jit
-    def tex_tile(tile):
-        nir = _normalize_tile(tile, p_lo, p_hi)[tb]
-        return (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
+    def tile_globals(tile, lo: int, rows: int, glcm_rows: int):
+        return _tile_globals(tile, p_lo, p_hi, med, iqr,
+                             jnp.float32(tex_lo), jnp.float32(tex_hi),
+                             lo=lo, rows=rows, glcm_rows=glcm_rows,
+                             levels=cfg.glcm.levels, window=window,
+                             step=step, angles=cfg.glcm.angles, tb=tb,
+                             n_j=n_j)
 
     resident = isinstance(src, jnp.ndarray)
-    glcm_pending = []
-    for y0 in range(0, h - cfg.glcm.window_size + 1, tile_rows):
-        rows = min(tile_rows, h - y0)
-        grid_rows = (rows - cfg.glcm.window_size) // step + 1
-        if grid_rows <= 0:
-            continue
-        tile = _get_tile(src, y0, y0 + rows)
-        con, hom = _tile_glcm_grid(tex_tile(tile), cfg.glcm.levels,
-                                   cfg.glcm.window_size, step,
-                                   cfg.glcm.angles)
-        glcm_pending.append((y0 // step, grid_rows, con, hom))
-        if not resident:  # streaming: bound in-flight tiles
-            np.asarray(con)
-    for gi, grid_rows, con, hom in glcm_pending:  # drain once (resident)
-        contrast_grid[gi:gi + grid_rows] = np.asarray(con)[:grid_rows]
-        homog_grid[gi:gi + grid_rows] = np.asarray(hom)[:grid_rows]
-
-    @jax.jit
-    def tile_sobel_max(tile):
-        u8 = (tex_tile(tile) * 255.0).astype(jnp.uint8)
-        return jnp.max(sobel_magnitude(u8.astype(jnp.float32)) / 255.0)
-
+    s1_acc = np.zeros(c, np.float64)
+    s2_acc = np.zeros((c, c), np.float64)
+    n = 0
     sobel_max = 0.0
-    sobel_pending = []
+    pending = []
     for y0 in range(0, h, tile_rows):
+        rows = min(tile_rows, h - y0)
         ys = max(0, y0 - 1)
-        ye = min(h, y0 + tile_rows + 1)
-        v = tile_sobel_max(_get_tile(src, ys, ye))
+        ye = min(h, y0 + rows + 1)
+        glcm_rows = max(0, (rows - window) // step + 1) \
+            if y0 <= h - window else 0
+        res = tile_globals(_get_tile(src, ys, ye), y0 - ys, rows,
+                           glcm_rows)
+        n += rows * w
         if resident:
-            sobel_pending.append(v)
-        else:
-            sobel_max = max(sobel_max, float(v))
-    for v in sobel_pending:  # drain once: tile maxes pipeline
-        sobel_max = max(sobel_max, float(v))
+            pending.append((y0, glcm_rows, res))
+        else:  # streaming: fetch per tile so in-flight buffers stay bounded
+            s1_acc += np.asarray(res[0], np.float64)
+            s2_acc += np.asarray(res[1], np.float64)
+            gi = y0 // step
+            contrast_grid[gi:gi + glcm_rows] = np.asarray(res[2])[:glcm_rows]
+            homog_grid[gi:gi + glcm_rows] = np.asarray(res[3])[:glcm_rows]
+            sobel_max = max(sobel_max, float(res[4]))
+    if pending:
+        # drain with ONE fetch per output kind (stacked on device); f64
+        # accumulation still happens here on host, per tile, in order
+        for t1 in np.asarray(jnp.stack([r[0] for _, _, r in pending]),
+                             np.float64):
+            s1_acc += t1
+        for t2 in np.asarray(jnp.stack([r[1] for _, _, r in pending]),
+                             np.float64):
+            s2_acc += t2
+        sobel_max = float(jnp.max(jnp.stack([r[4] for _, _, r in pending])))
+        full = [(y0, g, r) for y0, g, r in pending
+                if r[2].shape[0] == pending[0][2][2].shape[0] and g > 0]
+        rest = [(y0, g, r) for y0, g, r in pending
+                if r[2].shape[0] != pending[0][2][2].shape[0] and g > 0]
+        for group in (full, rest):
+            if not group:
+                continue
+            cons = np.asarray(jnp.stack([r[2] for _, _, r in group]))
+            homs = np.asarray(jnp.stack([r[3] for _, _, r in group]))
+            for k, (y0, g, _) in enumerate(group):
+                gi = y0 // step
+                contrast_grid[gi:gi + g] = cons[k][:g]
+                homog_grid[gi:gi + g] = homs[k][:g]
+
+    mean = s1_acc / n
+    cov = (s2_acc - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comp1 = eigvecs[:, np.argsort(-eigvals)[0]]
+    if comp1[np.argmax(np.abs(comp1))] < 0:  # svd_flip sign convention
+        comp1 = -comp1
+    stats.pca_mean = mean.astype(np.float32)
+    stats.pca_comp1 = comp1.astype(np.float32)
 
     return {"p_lo": stats.p_lo, "p_hi": stats.p_hi, "median": stats.median,
             "iqr": stats.iqr, "tex_lo": np.float32(stats.tex_lo),
@@ -463,80 +565,120 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
             "contrast_grid": contrast_grid, "homog_grid": homog_grid}
 
 
+def _globals_device(g: dict) -> dict:
+    """The pass A-C statistics as a device pytree, passed as ARGUMENTS to
+    the tile programs (closure constants would embed scene content in the
+    HLO — every new scene would recompile instead of hitting the
+    persistent cache)."""
+    return {
+        "p_lo": jnp.asarray(g["p_lo"]), "p_hi": jnp.asarray(g["p_hi"]),
+        "median": jnp.asarray(g["median"]), "iqr": jnp.asarray(g["iqr"]),
+        "pca_mean": jnp.asarray(g["pca_mean"]),
+        "pca_comp1": jnp.asarray(g["pca_comp1"]),
+        "tex_lo": jnp.asarray(np.float32(g["tex_lo"])),
+        "tex_hi": jnp.asarray(np.float32(g["tex_hi"])),
+        # same host arithmetic as the pre-refactor constant
+        "smax": jnp.asarray(np.float32(float(g["sobel_max"]) + 1e-10)),
+        "con": jnp.asarray(g["contrast_grid"]),
+        "hom": jnp.asarray(g["homog_grid"]),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "rows", "out_hw", "tb"))
+def _stack_tile_cm(tile, row0, gd: dict, *, lo: int, rows: int,
+                   out_hw: Tuple[int, int], tb: int):
+    """(7, rows+halo, w) tile -> (19, rows, w) CHANNEL-MAJOR stack.
+    (HWC would put 19 in the lane dim, which the TPU pads to 128 —
+    a 6.7x materialization tax; see pipeline.turbo.)"""
+    bands01 = _normalize_tile(tile, gd["p_lo"], gd["p_hi"])
+    idx = spectral_indices(bands01)
+    med, iqr = gd["median"], gd["iqr"]
+    xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
+    pc1 = jnp.einsum("chw,c->hw", xs - gd["pca_mean"][:, None, None],
+                     gd["pca_comp1"],
+                     precision=jax.lax.Precision.HIGHEST)
+    nir = bands01[tb]
+    tex_lo, tex_hi = gd["tex_lo"], gd["tex_hi"]
+    tex = (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
+    u8 = (tex * 255.0).astype(jnp.uint8)
+    grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
+    mean5 = box_filter(tex, 5)
+    std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
+    smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / gd["smax"]
+    level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
+                         idx["evi"], idx["ndbi"], idx["bsi"], pc1])
+    ctx = box_filter(level_1, 7, border="reflect")
+    glcm_con = _resize_rows(gd["con"], out_hw, row0, rows)
+    glcm_hom = _resize_rows(gd["hom"], out_hw, row0, rows)
+
+    def crop(x):
+        return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=x.ndim - 2)
+
+    return jnp.concatenate([
+        crop(level_1), crop(ctx),
+        jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
+                   crop(smag)])])
+
+
 def _make_stack_fn(arr: np.ndarray, cfg: FeatureStageConfig,
                    tile_rows: int, globals_dict: Optional[dict] = None,
-                   src=None):
-    """Jitted per-tile 19-channel stack function over the pass A-C global
-    statistics (computed here unless a checkpointed dict is supplied)."""
+                   src=None, hists: Optional[np.ndarray] = None):
+    """Per-tile 19-channel stack function over the pass A-C global
+    statistics (computed here unless a checkpointed dict is supplied).
+    The returned callable routes through the module-level jitted kernel
+    with the statistics as device arguments (scene-independent HLO)."""
     c, h, w = arr.shape
     g = globals_dict if globals_dict is not None else _global_passes(
-        arr, cfg, tile_rows, src=src)
+        arr, cfg, tile_rows, src=src, hists=hists)
+    gd = _globals_device(g)
     tb = cfg.texture_band_index
-    p_lo = jnp.asarray(g["p_lo"])
-    p_hi = jnp.asarray(g["p_hi"])
-    tex_lo = np.float32(g["tex_lo"])
-    tex_hi = np.float32(g["tex_hi"])
-    con_g = jnp.asarray(g["contrast_grid"])
-    hom_g = jnp.asarray(g["homog_grid"])
-    comp1 = jnp.asarray(g["pca_comp1"])
-    mean = jnp.asarray(g["pca_mean"])
-    med = jnp.asarray(g["median"])
-    iqr = jnp.asarray(g["iqr"])
-    smax = jnp.asarray(float(g["sobel_max"]) + 1e-10, jnp.float32)
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
     def stack_tile(tile, row0, lo, rows: int):
-        """(7, rows+halo, w) tile -> (19, rows, w) CHANNEL-MAJOR stack.
-        (HWC would put 19 in the lane dim, which the TPU pads to 128 —
-        a 6.7x materialization tax; see pipeline.turbo.)"""
-        bands01 = _normalize_tile(tile, p_lo, p_hi)
-        idx = spectral_indices(bands01)
-        xs = (bands01 - med[:, None, None]) / iqr[:, None, None]
-        pc1 = jnp.einsum("chw,c->hw", xs - mean[:, None, None], comp1,
-                         precision=jax.lax.Precision.HIGHEST)
-        nir = bands01[tb]
-        tex = (jnp.clip(nir, tex_lo, tex_hi) - tex_lo) / (tex_hi - tex_lo + 1e-10)
-        u8 = (tex * 255.0).astype(jnp.uint8)
-        grad5 = gradient(u8, 5).astype(jnp.float32) / 255.0
-        mean5 = box_filter(tex, 5)
-        std5 = jnp.sqrt(jnp.maximum(box_filter(tex * tex, 5) - mean5 ** 2, 0.0))
-        smag = sobel_magnitude(u8.astype(jnp.float32)) / 255.0 / smax
-        level_1 = jnp.stack([idx["ndwi"], idx["mndwi"], idx["ndvi"],
-                             idx["evi"], idx["ndbi"], idx["bsi"], pc1])
-        ctx = box_filter(level_1, 7, border="reflect")
-        glcm_con = _resize_rows(con_g, (h, w), row0, rows)
-        glcm_hom = _resize_rows(hom_g, (h, w), row0, rows)
-
-        def crop(x):
-            return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=x.ndim - 2)
-
-        return jnp.concatenate([
-            crop(level_1), crop(ctx),
-            jnp.stack([glcm_con, glcm_hom, crop(grad5), crop(std5),
-                       crop(smag)])])
+        return _stack_tile_cm(tile, row0, gd, lo=int(lo), rows=rows,
+                              out_hw=(h, w), tb=tb)
 
     return stack_tile, g
 
 
+@functools.partial(jax.jit, static_argnames=("lo", "rows", "out_hw", "tb",
+                                             "chunk", "out_dt", "plan"))
+def _classify_tile_cm(tile, row0, gd: dict, gf: GemmForest, *, lo: int,
+                      rows: int, out_hw: Tuple[int, int], tb: int,
+                      chunk: int, out_dt, plan=None):
+    """One fused tile program: 19-channel stack + transposed forest GEMM.
+    Globals and forest arrive as pytree arguments so the compiled
+    executable is reusable across scenes and models of the same shape."""
+    from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+    stack = _stack_tile_cm(tile, row0, gd, lo=lo, rows=rows,
+                           out_hw=out_hw, tb=tb)           # (19, rows, w)
+    pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk, plan=plan)
+    return pred.reshape(rows, out_hw[1]).astype(out_dt)
+
+
 def classify_large_scene(arr: np.ndarray, gf: GemmForest,
                          cfg: FeatureStageConfig = FeatureStageConfig(),
-                         tile_rows: int = 504) -> np.ndarray:
+                         tile_rows: int = 504,
+                         hists: Optional[np.ndarray] = None) -> np.ndarray:
     """Classify a PREPROCESSED (7, H, W) uint8-valued scene of any size in
     row tiles. ``tile_rows`` must be a multiple of the GLCM step so texture
-    windows align with the global window grid."""
+    windows align with the global window grid. ``hists``: precomputed
+    per-band histograms of ``arr`` (``preprocess_large(return_hist=True)``)
+    to skip the pass-A histogram sweep."""
     c, h, w = arr.shape
     src = _tile_src(arr)
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
+    stack_tile, g = _make_stack_fn(arr, cfg, tile_rows, src=src,
+                                   hists=hists)
+    gd = _globals_device(g)
     chunk = _gemm_chunk(gf.path.shape[1])
-
     out_dt = _label_transfer_dtype(gf)
+    tb = cfg.texture_band_index
+    from rs_image_segmentation_tpu.models.forest import forest_tree_plan
+    plan = forest_tree_plan(gf)
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
-        from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
-        stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
-        pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        return pred.reshape(rows, w).astype(out_dt)
+        return _classify_tile_cm(tile, row0, gd, gf, lo=int(lo), rows=rows,
+                                 out_hw=(h, w), tb=tb, chunk=chunk,
+                                 out_dt=out_dt, plan=plan)
 
     resident = isinstance(src, jnp.ndarray)
     pending = []
@@ -567,7 +709,8 @@ def classify_large_scene_resumable(
         arr: np.ndarray, gf: GemmForest, checkpoint_dir: str,
         cfg: FeatureStageConfig = FeatureStageConfig(),
         tile_rows: int = 504,
-        interrupt_after: Optional[int] = None) -> np.ndarray:
+        interrupt_after: Optional[int] = None,
+        hists: Optional[np.ndarray] = None) -> np.ndarray:
     """``classify_large_scene`` with a resumable tile cursor.
 
     Checkpoints to ``checkpoint_dir``:
@@ -629,7 +772,8 @@ def classify_large_scene_resumable(
         with np.load(gpath) as z:
             globals_dict = {k: z[k] for k in z.files}
     else:
-        globals_dict = _global_passes(arr, cfg, tile_rows, src=src)
+        globals_dict = _global_passes(arr, cfg, tile_rows, src=src,
+                                      hists=hists)
         tmp = gpath + ".tmp.npz"
         np.savez(tmp, **globals_dict)
         os.replace(tmp, gpath)
@@ -643,17 +787,17 @@ def classify_large_scene_resumable(
         out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
                                         shape=(h, w))
 
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, globals_dict,
-                                   src=src)
+    gd = _globals_device(globals_dict)
     chunk = _gemm_chunk(gf.path.shape[1])
     out_dt = _label_transfer_dtype(gf)
+    tb = cfg.texture_band_index
+    from rs_image_segmentation_tpu.models.forest import forest_tree_plan
+    plan = forest_tree_plan(gf)
 
-    @functools.partial(jax.jit, static_argnames=("rows",))
     def classify_tile(tile, row0, lo, rows: int):
-        from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
-        stack = stack_tile(tile, row0, lo, rows)          # (19, rows, w)
-        pred = gemm_labels_cm(gf, stack.reshape(19, -1), chunk)
-        return pred.reshape(rows, w).astype(out_dt)
+        return _classify_tile_cm(tile, row0, gd, gf, lo=int(lo), rows=rows,
+                                 out_hw=(h, w), tb=tb, chunk=chunk,
+                                 out_dt=out_dt, plan=plan)
 
     done = set(manifest["done"])
     fresh = 0

@@ -82,33 +82,36 @@ def test_large_scene_matches_monolithic(rng, aa_scene):
 
 
 def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
-    """8-way row sharding with halo exchange == monolithic classification."""
+    """8-way row sharding with halo exchange == monolithic classification
+    on the FULL bundled 600x600 scene at the reference GLCM shape
+    (window 21 / levels 32, indices.py:248-249). 600/8 = 75 rows/shard is
+    NOT a multiple of the 21-px step, so this exercises windows straddling
+    shard boundaries — the halo/resize divergence case (VERDICT r2 #2)."""
     from rs_image_segmentation_tpu.parallel.mesh import make_mesh
     from rs_image_segmentation_tpu.parallel.spatial import (
         sharded_classify_scene)
     arr, _ = aa_scene
     cal = CalibrationConfig()
     cfg = FeatureStageConfig()
+    assert cfg.glcm.window_size == 21 and cfg.glcm.levels == 32
     pre = np.asarray(preprocess_bands(
         jnp.asarray(arr), np.asarray(cal.gains),
         np.asarray(cal.biases)))
-    # 8 shards x 63 rows = 504 rows (63 = 3 * 21)
-    pre = np.ascontiguousarray(pre[:, :504, :252])
 
     stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
                                                 cfg))
-    sel = rng.integers(0, 252, (60, 2))
+    sel = rng.integers(0, 600, (60, 2))
     forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
                                       rng.integers(1, 4, 60),
                                       n_estimators=15, seed=0)
     gf = _gemm_for(forest, 19)
     ref = np.asarray(gemm_forest_predict(
-        gf, jnp.asarray(stack.reshape(-1, 19)), 8192)).reshape(504, 252)
+        gf, jnp.asarray(stack.reshape(-1, 19)), 8192)).reshape(600, 600)
 
     mesh = make_mesh(axis_names=("tile",))
     got = np.asarray(sharded_classify_scene(pre, gf, mesh, cfg))
     agreement = (ref == got).mean()
-    assert agreement > 0.995, agreement
+    assert agreement > 0.999, agreement
 
 
 def test_kmeans_large_scene(rng, aa_scene):
@@ -201,3 +204,63 @@ def test_resumable_rejects_foreign_checkpoint(rng, aa_scene):
         ref_b = classify_large_scene(scene_b, gf, cfg, tile_rows=63)
         assert np.array_equal(map_b, ref_b)
         assert not np.array_equal(map_a, map_b)
+
+
+def test_classify_with_precomputed_hists_bit_identical(rng, aa_scene):
+    """The hists fast path (preprocess_large(return_hist=True) feeding
+    classify_large_scene) must be bit-identical to the self-computed
+    histogram pass — same counts in, same program out."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        band_histograms_u8)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252])
+    sel = rng.integers(0, 252, (60, 2))
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    base = classify_large_scene(pre, gf, cfg, tile_rows=63)
+    with_h = classify_large_scene(pre, gf, cfg, tile_rows=63,
+                                  hists=band_histograms_u8(pre))
+    np.testing.assert_array_equal(base, with_h)
+
+
+def test_merged_global_pass_matches_fit_global_pca(rng, aa_scene):
+    """The merged pass-B/C program's PCA must match the standalone
+    _fit_global_pca host loop (parallel.spatial still uses the latter).
+    Tolerance is ulp-level, not exact: XLA picks the f32 reduction order
+    per compiled program, and the merged kernel's fusion context differs
+    from the standalone accumulator's (observed delta 1 ulp)."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        _fit_global_pca, _global_passes)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252])
+    g = _global_passes(pre, cfg, tile_rows=63)
+    stats = compute_global_stats(pre, cfg)
+    _fit_global_pca(pre, stats, tile_rows=63)
+    np.testing.assert_allclose(g["pca_mean"], stats.pca_mean, rtol=1e-6)
+    np.testing.assert_allclose(g["pca_comp1"], stats.pca_comp1, rtol=1e-6)
+
+
+def test_preprocess_large_return_hist(rng):
+    """return_hist returns histograms of the STRETCHED output when the
+    backend computes them (Pallas path), else None; counts must match a
+    direct histogram of the returned scene."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        band_histograms_u8, preprocess_large)
+    arr = rng.integers(0, 256, (7, 96, 96)).astype(np.uint8)
+    out, hists = preprocess_large(arr, return_hist=True)
+    ref = preprocess_large(arr)
+    np.testing.assert_array_equal(out, ref)
+    if hists is not None:   # TPU Pallas path
+        np.testing.assert_array_equal(hists, band_histograms_u8(out))
