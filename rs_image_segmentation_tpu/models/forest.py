@@ -278,6 +278,69 @@ def _gemm_for(forest: FlatForest, n_features: int) -> Optional[GemmForest]:
     return gf
 
 
+_PLAN_CACHE: dict = {}
+
+
+def forest_tree_plan(gf: GemmForest, min_block: int = 128,
+                     max_groups: int = 32):
+    """Static tree-grouping plan for the block-diagonal Pallas forest
+    kernel: a tuple of ``(m_off, m_cnt, l_off, l_cnt)`` per group, where
+    trees are packed contiguously so each group's internal-node columns
+    ``[m_off, m_off+m_cnt)`` and leaf rows ``[l_off, l_off+l_cnt)`` cover
+    whole trees.
+
+    The path matrix is block-diagonal by tree (a leaf only references its
+    own tree's internal nodes — forest_to_gemm walks trees in order), so
+    a dense (L, M) votes matmul does ~n_trees x the useful work (measured
+    ~1% path occupancy on the bundled model). Grouping G balanced blocks
+    cuts the dominant matmul's FLOPs and VMEM by ~G.
+
+    Returns None (caller keeps the dense kernel) when: the forest is a
+    tracer (plans need concrete values — thread the plan from a concrete
+    caller), any tree is a bare leaf (no root column to detect), or the
+    forest is too small to split at ``min_block`` columns per group.
+    Cached by buffer identity like ``_gemm_for``."""
+    if gf is None or isinstance(gf.path, jax.core.Tracer):
+        return None
+    key = (id(gf.path), min_block, max_groups)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key][1]
+    path = np.asarray(gf.path.astype(jnp.float32))
+    m, l = path.shape
+    plan = None
+    if m >= 2 * min_block and float(np.asarray(gf.path_len).min()) >= 1:
+        nz = path != 0
+        # every leaf's path includes its tree's root (walk starts there),
+        # so the first nonzero row per leaf column is the tree root
+        root = nz.argmax(axis=0)
+        starts_l = np.concatenate(
+            [[0], np.flatnonzero(np.diff(root) != 0) + 1])
+        roots = root[starts_l]
+        if roots[0] == 0:
+            tree_m = np.diff(np.concatenate([roots, [m]]))
+            tree_l = np.diff(np.concatenate([starts_l, [l]]))
+            n_groups = min(max_groups, max(1, m // min_block))
+            target = -(-m // n_groups)
+            groups = []
+            t0 = 0
+            acc = 0
+            for t in range(len(roots)):
+                acc += int(tree_m[t])
+                if acc >= target or t == len(roots) - 1:
+                    m_off = int(roots[t0])
+                    l_off = int(starts_l[t0])
+                    m_end = int(roots[t + 1]) if t + 1 < len(roots) else m
+                    l_end = int(starts_l[t + 1]) if t + 1 < len(roots) else l
+                    groups.append((m_off, m_end - m_off,
+                                   l_off, l_end - l_off))
+                    t0 = t + 1
+                    acc = 0
+            if len(groups) > 1:
+                plan = tuple(groups)
+    _PLAN_CACHE[key] = (gf.path, plan)
+    return plan
+
+
 def _gemm_chunk(n_leaves: int) -> int:
     """Block size keeping the (chunk, leaves) f32 intermediate <= ~64 MB."""
     return max(512, min(65536, (64 << 20) // max(4 * n_leaves, 1)))

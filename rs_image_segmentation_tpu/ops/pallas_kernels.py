@@ -451,19 +451,77 @@ def _forest_kernel(n_inner: int, bn: int, n_classes: int, sel_ref, thr_ref,
     jax.lax.fori_loop(0, n_inner, body, 0)
 
 
+def _forest_grouped_kernel(n_inner: int, bn: int, n_classes: int,
+                           n_groups: int, sel_ref, thr_ref, path_ref,
+                           plen_ref, dist_ref, inv_ref, x_ref, out_ref):
+    """Tree-grouped block-diagonal variant of :func:`_forest_kernel`.
+
+    The dense path matmul runs every leaf against every internal node,
+    but the path matrix is block-diagonal by tree — measured ~1% useful
+    occupancy on the bundled 100-tree model. Weights arrive stacked per
+    tree GROUP (forest_tree_plan): the G small (Lg_pad, Mg_pad) matmuls
+    do ~1/G the MACs and VMEM of the dense (L_pad, M_pad) one, and the
+    per-class totals accumulate across groups (exact: leaf-dist sums
+    stay integer-valued f32 for pure-leaf forests, and the comparison /
+    vote arithmetic is unchanged per group)."""
+    def body(j, _):
+        x = x_ref[:, pl.ds(j * bn, bn)]                    # (F, BN)
+        x_hi = x.astype(jnp.bfloat16)
+        r = x - x_hi.astype(jnp.float32)
+        x_mid = r.astype(jnp.bfloat16)
+        x_lo = (r - x_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        x3 = jnp.concatenate([x_hi, x_mid, x_lo])          # (3F, BN)
+        total = None
+        for g in range(n_groups):
+            acc = jnp.dot(sel_ref[g], x3,
+                          preferred_element_type=jnp.float32)
+            s = jnp.where(acc <= thr_ref[g], 1, -1).astype(jnp.int8)
+            votes = jnp.dot(path_ref[g], s,
+                            preferred_element_type=jnp.int32)
+            fired = (votes == plen_ref[g]).astype(jnp.float32)
+            part = jnp.concatenate(
+                [jnp.sum(dist_ref[g, :, c:c + 1] * fired, axis=0,
+                         keepdims=True)
+                 for c in range(n_classes)], axis=0)        # (C, BN)
+            total = part if total is None else total + part
+        total = total * inv_ref[0, 0]
+        mx = jnp.max(total, axis=0, keepdims=True)
+        row = jax.lax.broadcasted_iota(jnp.int32, total.shape, 0)
+        out_ref[:, pl.ds(j * bn, bn)] = jnp.min(
+            jnp.where(total == mx, row, total.shape[0]),
+            axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_inner, body, 0)
+
+
 _FOREST_VMEM_BUDGET = 10 << 20   # leave headroom under the ~16 MB/core
 _FOREST_INNER = 16       # sub-blocks per grid step (amortizes step overhead)
 
 
-def forest_block_n(n_internal: int, n_leaves: int) -> int:
+def _plan_pads(plan) -> tuple:
+    """(G, Mg_pad, Lg_pad) for a forest_tree_plan tuple."""
+    mg = _round_up(max(p[1] for p in plan), _LANE)
+    lg = _round_up(max(p[3] for p in plan), _LANE)
+    return len(plan), mg, lg
+
+
+def forest_block_n(n_internal: int, n_leaves: int, plan=None) -> int:
     """Largest pixel sub-block size (multiple of 128, <= 1024) whose VMEM
     working set fits the budget; 0 if even 128 does not fit (caller
     falls back to the XLA route). Working set per sub-block column:
     acc f32 + s bf16 over M_pad, votes+fired f32 over L_pad, plus the
-    double-buffered (F, bn*inner) input strip."""
-    m_pad = _round_up(max(n_internal, 1), _LANE)
-    l_pad = _round_up(max(n_leaves, 1), _LANE)
-    fixed = m_pad * l_pad * 2 + m_pad * 4 * 32              # weights + slack
+    double-buffered (F, bn*inner) input strip. With a tree-group plan
+    the weights stack per group but the per-column working set shrinks
+    to the padded GROUP sizes."""
+    if plan is not None:
+        g, m_pad, l_pad = _plan_pads(plan)
+        fixed = g * (m_pad * l_pad + m_pad * (2 * 24 * 3 + 4)
+                     + l_pad * (4 + 32)) + 4096
+    else:
+        m_pad = _round_up(max(n_internal, 1), _LANE)
+        l_pad = _round_up(max(n_leaves, 1), _LANE)
+        fixed = m_pad * l_pad * 2 + m_pad * 4 * 32          # weights + slack
     for bn in (1024, 512, 256, 128):
         work = bn * (m_pad * 6 + l_pad * 8 + 64 * 4)
         strip = 2 * bn * _FOREST_INNER * 24 * 4             # x in/out buffers
@@ -472,70 +530,129 @@ def forest_block_n(n_internal: int, n_leaves: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret", "plan"))
 def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
-                         interpret: bool = False) -> jnp.ndarray:
+                         interpret: bool = False,
+                         plan=None) -> jnp.ndarray:
     """GemmForest predict over channel-major features: (F, N) f32 ->
     (N,) class labels, fused in one Pallas pass (no HBM intermediates).
 
     Same decision chain as ``pipeline.turbo.gemm_labels_cm`` (reference
     predict semantics: sklearn majority vote with lowest-class tie-break,
     modules/features/extract.py:690-719); bit-equality with the XLA route
-    is asserted in tests on random forests and feature blocks."""
+    is asserted in tests on random forests and feature blocks.
+
+    ``plan`` (static; from ``models.forest.forest_tree_plan``) switches
+    the dense votes matmul to the tree-grouped block-diagonal kernel —
+    identical labels, ~1/len(plan) the MACs on the dominant matmul."""
     f, n = x_cm.shape
     m = gf.selector.shape[1]
     l, c = gf.leaf_dist.shape
-    m_pad = _round_up(m, _LANE)
-    l_pad = _round_up(l, _LANE)
     bn = block_n
     strip = bn * _FOREST_INNER
     n_pad = (-n) % strip
-
-    sel1 = jnp.pad(gf.selector.astype(jnp.bfloat16).T,
-                   ((0, m_pad - m), (0, 0)))                # (M_pad, F)
-    sel_p = jnp.concatenate([sel1, sel1, sel1], axis=1)     # (M_pad, 3F)
-    thr_p = jnp.pad(gf.thresholds.astype(jnp.float32)[:, None],
-                    ((0, m_pad - m), (0, 0)))               # (M_pad, 1)
-    path_p = jnp.pad(gf.path.T.astype(jnp.int8),
-                     ((0, l_pad - l), (0, m_pad - m)))      # (L_pad, M_pad)
-    # pad leaves get path_len -1: their zero vote rows never "fire"
-    plen_p = jnp.pad(gf.path_len.astype(jnp.int32)[:, None],
-                     ((0, l_pad - l), (0, 0)), constant_values=-1)
-    # (L_pad, 8): pad leaves never fire, pad class columns are never read
-    dist_p = jnp.pad(gf.leaf_dist.astype(jnp.float32),
-                     ((0, l_pad - l), (0, 8 - c)))
-    inv = jnp.reshape(gf.inv_trees.astype(jnp.float32), (1, 1))
     xp = jnp.pad(x_cm, ((0, 0), (0, n_pad)))
-
     grid = (xp.shape[1] // strip,)
-    idx = pl.pallas_call(
-        functools.partial(_forest_kernel, _FOREST_INNER, bn, c),
-        out_shape=jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((m_pad, 3 * f), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, m_pad), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 1), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l_pad, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((f, strip), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, strip), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * xp.shape[1] * (m_pad * f + l_pad * m_pad + 8 * l_pad),
-            bytes_accessed=xp.size * 4 + xp.shape[1] * 4,
-            transcendentals=0),
-        interpret=interpret,
-    )(sel_p, thr_p, path_p, plen_p, dist_p, inv, xp)
+    inv = jnp.reshape(gf.inv_trees.astype(jnp.float32), (1, 1))
+    sel_t = gf.selector.astype(jnp.bfloat16).T              # (M, F)
+    thr_c = gf.thresholds.astype(jnp.float32)[:, None]      # (M, 1)
+    path_t = gf.path.T.astype(jnp.int8)                     # (L, M)
+    plen_c = gf.path_len.astype(jnp.int32)[:, None]         # (L, 1)
+    dist_f = gf.leaf_dist.astype(jnp.float32)               # (L, C)
+
+    if plan is not None:
+        g_n, mg_pad, lg_pad = _plan_pads(plan)
+
+        def grp(t, r0, rl, c0, cl, rp, cp, cv=0):
+            return jnp.pad(t[r0:r0 + rl, c0:c0 + cl],
+                           ((0, rp - rl), (0, cp - cl)),
+                           constant_values=cv)
+
+        sel_g = jnp.stack([
+            jnp.concatenate([grp(sel_t, mo, mc, 0, f, mg_pad, f)] * 3,
+                            axis=1)
+            for mo, mc, _, _ in plan])                       # (G, Mg, 3F)
+        thr_g = jnp.stack([grp(thr_c, mo, mc, 0, 1, mg_pad, 1)
+                           for mo, mc, _, _ in plan])
+        path_g = jnp.stack([grp(path_t, lo, lc, mo, mc, lg_pad, mg_pad)
+                            for mo, mc, lo, lc in plan])
+        plen_g = jnp.stack([grp(plen_c, lo, lc, 0, 1, lg_pad, 1, cv=-1)
+                            for _, _, lo, lc in plan])
+        dist_g = jnp.stack([grp(dist_f, lo, lc, 0, c, lg_pad, 8)
+                            for _, _, lo, lc in plan])
+        idx = pl.pallas_call(
+            functools.partial(_forest_grouped_kernel, _FOREST_INNER, bn,
+                              c, g_n),
+            out_shape=jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g_n, mg_pad, 3 * f), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_n, mg_pad, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_n, lg_pad, mg_pad), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_n, lg_pad, 1), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_n, lg_pad, 8), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((f, strip), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, strip), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * xp.shape[1] * g_n * (mg_pad * f
+                                               + lg_pad * mg_pad
+                                               + 8 * lg_pad),
+                bytes_accessed=xp.size * 4 + xp.shape[1] * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(sel_g, thr_g, path_g, plen_g, dist_g, inv, xp)
+    else:
+        m_pad = _round_up(m, _LANE)
+        l_pad = _round_up(l, _LANE)
+        sel1 = jnp.pad(sel_t, ((0, m_pad - m), (0, 0)))     # (M_pad, F)
+        sel_p = jnp.concatenate([sel1, sel1, sel1], axis=1)  # (M_pad, 3F)
+        thr_p = jnp.pad(thr_c, ((0, m_pad - m), (0, 0)))    # (M_pad, 1)
+        path_p = jnp.pad(path_t,
+                         ((0, l_pad - l), (0, m_pad - m)))  # (L_pad, M_pad)
+        # pad leaves get path_len -1: their zero vote rows never "fire"
+        plen_p = jnp.pad(plen_c, ((0, l_pad - l), (0, 0)),
+                         constant_values=-1)
+        # (L_pad, 8): pad leaves never fire, pad class cols are never read
+        dist_p = jnp.pad(dist_f, ((0, l_pad - l), (0, 8 - c)))
+        idx = pl.pallas_call(
+            functools.partial(_forest_kernel, _FOREST_INNER, bn, c),
+            out_shape=jax.ShapeDtypeStruct((1, xp.shape[1]), jnp.int32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m_pad, 3 * f), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((l_pad, m_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((l_pad, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((l_pad, 8), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((f, strip), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, strip), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * xp.shape[1] * (m_pad * f + l_pad * m_pad
+                                         + 8 * l_pad),
+                bytes_accessed=xp.size * 4 + xp.shape[1] * 4,
+                transcendentals=0),
+            interpret=interpret,
+        )(sel_p, thr_p, path_p, plen_p, dist_p, inv, xp)
 
     # classes lookup without a gather: C <= 8 equality-select
     cls = gf.classes.astype(jnp.int32)

@@ -15,8 +15,15 @@ Global statistics (percentiles / PCA axis) are histogram-exact scalars
 computed once on host (pipeline.large_scene) and baked into the program as
 constants — by construction identical to the monolithic path.
 
-Constraint: shard height must be a multiple of the GLCM step so texture
-windows align with the global window grid.
+GLCM windows live on the GLOBAL window grid (starts at multiples of the
+step from image row 0 — reference indices.py:283-305 semantics), which
+shard boundaries need not respect: each shard computes the grid rows
+whose window START falls in its rows, pulling up to window-1 rows of
+halo from the shard below, into a fixed number of slots (masked where a
+shard owns fewer starts). The slots are all_gather'd and scattered into
+the global grid with an exact one-hot matmul. This removes the old
+"shard height % step == 0" constraint — the bundled 600-row scene now
+shards 8 ways (75 rows/shard) against the reference window 21.
 """
 
 from __future__ import annotations
@@ -46,10 +53,11 @@ def sharded_classify_scene(pre: np.ndarray, gf: GemmForest, mesh: Mesh,
     n = mesh.shape[axis_name]
     c, h, w = pre.shape
     rows = h // n
-    if h % n or rows % cfg.glcm.step_size:
-        raise ValueError(
-            f"H={h} must split into {n} shards of a multiple of "
-            f"{cfg.glcm.step_size} rows")
+    if h % n:
+        raise ValueError(f"H={h} must split evenly into {n} shards")
+    if rows < cfg.glcm.window_size:
+        raise ValueError(f"shard height {rows} below the GLCM window "
+                         f"({cfg.glcm.window_size})")
 
     stats = compute_global_stats(pre, cfg)
     _fit_global_pca(pre, stats, tile_rows=rows)
@@ -65,7 +73,9 @@ def sharded_classify_scene(pre: np.ndarray, gf: GemmForest, mesh: Mesh,
     tb = cfg.texture_band_index
     step = cfg.glcm.step_size
     window = cfg.glcm.window_size
-    grid_rows = (rows - window) // step + 1
+    n_i = (h - window) // step + 1       # global grid rows
+    n_j = (w - window) // step + 1
+    gmax = rows // step + 1              # max window starts per shard
     chunk = _gemm_chunk(gf.path.shape[1])
 
     def halo_pad(x, idx):
@@ -90,12 +100,43 @@ def sharded_classify_scene(pre: np.ndarray, gf: GemmForest, mesh: Mesh,
         bands01 = _normalize_tile(shard, p_lo, p_hi)
 
         # ---- local GLCM grid rows -> global grid via all_gather ----------
+        # windows start on the GLOBAL step grid; this shard owns starts in
+        # [row0, row0+rows) and borrows window-1 bottom-halo rows to
+        # finish those that straddle the boundary
         tex = (jnp.clip(bands01[tb], tex_lo, tex_hi) - tex_lo) \
             / (tex_hi - tex_lo + 1e-10)
-        con, hom = _tile_glcm_grid(tex, cfg.glcm.levels, window, step,
-                                   cfg.glcm.angles)
-        con_g = jax.lax.all_gather(con, axis_name).reshape(n * grid_rows, -1)
-        hom_g = jax.lax.all_gather(hom, axis_name).reshape(n * grid_rows, -1)
+        from_below = jax.lax.ppermute(
+            tex[:window - 1, :], axis_name,
+            [(i, (i - 1) % n) for i in range(n)])
+        tex_ext = jnp.concatenate([tex, from_below], axis=0)
+        g0 = -(-row0 // step)                       # ceil: first owned start
+        cons, homs, gids, vids = [], [], [], []
+        for k in range(gmax):
+            g = g0 + k
+            off = g * step - row0
+            strip = jax.lax.dynamic_slice(tex_ext, (off, 0), (window, w))
+            con_k, hom_k = _tile_glcm_grid(strip, cfg.glcm.levels, window,
+                                           step, cfg.glcm.angles)
+            cons.append(con_k)
+            homs.append(hom_k)
+            gids.append(g)
+            vids.append((g * step < row0 + rows) & (g < n_i))
+        con_loc = jnp.concatenate(cons)              # (gmax, n_j)
+        hom_loc = jnp.concatenate(homs)
+        g_loc = jnp.stack(gids)
+        v_loc = jnp.stack(vids)
+        con_all = jax.lax.all_gather(con_loc, axis_name).reshape(-1, n_j)
+        hom_all = jax.lax.all_gather(hom_loc, axis_name).reshape(-1, n_j)
+        g_all = jax.lax.all_gather(g_loc, axis_name).reshape(-1)
+        v_all = jax.lax.all_gather(v_loc, axis_name).reshape(-1)
+        # exact scatter: each global grid row has exactly one valid slot,
+        # so the one-hot matmul is a bit-exact copy (1.0 x value + zeros)
+        onehot = ((g_all[None, :] == jnp.arange(n_i)[:, None]) & v_all
+                  ).astype(jnp.float32)
+        con_g = jnp.dot(onehot, con_all, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        hom_g = jnp.dot(onehot, hom_all, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
 
         # ---- halo'd stencil inputs --------------------------------------
         bands_h = halo_pad(bands01, idx)

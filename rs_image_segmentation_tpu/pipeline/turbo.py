@@ -244,7 +244,7 @@ def hierarchical_stack_turbo_cm(scene_u8: jnp.ndarray,
 # ------------------------------------------------- transposed forest GEMM
 
 def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
-                   chunk: int = 32768) -> jnp.ndarray:
+                   chunk: int = 32768, plan=None) -> jnp.ndarray:
     """Forest predict over channel-major features: (F, N) -> (N,) labels.
 
     Same three-matmul chain as ``models.forest._gemm_block_proba`` but
@@ -255,15 +255,23 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
     Pallas kernel (ops.pallas_kernels.forest_labels_pallas): XLA cannot
     fuse across the chain's two matmuls, so this lowering materializes the
     (M, N) comparison and (L, N) vote tensors in HBM — measured 45 ms vs
-    5.6 ms fused at the 8-scene bench shape (identical labels)."""
+    5.6 ms fused at the 8-scene bench shape (identical labels).
+
+    ``plan``: static tree-group plan (models.forest.forest_tree_plan) for
+    the block-diagonal kernel; auto-derived here when ``gf`` is concrete
+    (traced callers must thread it from outside the trace)."""
     if jax.default_backend() == "tpu" and gf.leaf_dist.shape[1] <= 8:
         # >8 classes would need a wider pad in the kernel's (L_pad, 8)
         # dist layout; such forests take the XLA route below
+        from rs_image_segmentation_tpu.models.forest import forest_tree_plan
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             forest_block_n, forest_labels_pallas)
-        bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0])
+        if plan is None:
+            plan = forest_tree_plan(gf)   # None under an active trace
+        bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0],
+                            plan=plan)
         if bn:
-            return forest_labels_pallas(gf, x_cm, block_n=bn)
+            return forest_labels_pallas(gf, x_cm, block_n=bn, plan=plan)
     f, n = x_cm.shape
     pad = (-n) % chunk
     xp = jnp.pad(x_cm, ((0, 0), (0, pad)))
@@ -290,7 +298,6 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
 
 # ---------------------------------------------------------- full program
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk"))
 def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
                           gf: GemmForest,
                           cfg: FeatureStageConfig = FeatureStageConfig(),
@@ -298,7 +305,20 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
     """ONE device program: (B, 7, H, W) raw uint8 scenes + (B, 7, 256)
     stretch LUTs -> (B, H, W) uint8 class maps. Preprocess, 19-channel
     feature extraction, and forest inference fused, channel-major
-    throughout."""
+    throughout. Thin wrapper: derives the static tree-group plan from a
+    concrete forest (None under an outer trace) and dispatches to the
+    jitted program."""
+    from rs_image_segmentation_tpu.models.forest import forest_tree_plan
+    return _classify_scenes_turbo(scenes_u8, stretch_luts_u8, gf, cfg,
+                                  chunk, forest_tree_plan(gf))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "plan"))
+def _classify_scenes_turbo(scenes_u8: jnp.ndarray,
+                           stretch_luts_u8: jnp.ndarray,
+                           gf: GemmForest,
+                           cfg: FeatureStageConfig = FeatureStageConfig(),
+                           chunk: int = 32768, plan=None) -> jnp.ndarray:
     b, c, h, w = scenes_u8.shape
     stacks = jax.vmap(
         lambda s, l: _stack_cm_from_parts(*_preamble(s, l), cfg)
@@ -306,7 +326,8 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
     if jax.default_backend() == "tpu" and gf.leaf_dist.shape[1] <= 8:
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             forest_block_n, forest_labels_pallas)
-        bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0])
+        bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0],
+                            plan=plan)
         if bn:
             # vmap the fused forest kernel per scene: batching the grid
             # beats transposing the (B, 19, H, W) stacks into one
@@ -314,10 +335,11 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
             # measured 28.9 -> 23.0 ms on the 8-scene bench batch)
             flat = stacks.reshape(b, stacks.shape[1], h * w)
             labels = jax.vmap(
-                lambda x: forest_labels_pallas(gf, x, block_n=bn))(flat)
+                lambda x: forest_labels_pallas(gf, x, block_n=bn,
+                                               plan=plan))(flat)
             return labels.reshape(b, h, w).astype(jnp.uint8)
     x_cm = jnp.moveaxis(stacks, 1, 0).reshape(19, -1)       # (19, B*H*W)
-    labels = gemm_labels_cm(gf, x_cm, chunk)
+    labels = gemm_labels_cm(gf, x_cm, chunk, plan=plan)
     return labels.reshape(b, h, w).astype(jnp.uint8)
 
 

@@ -162,3 +162,61 @@ def test_forest_labels_pallas_fractional_leaf_dist():
     out = np.asarray(forest_labels_pallas(gf, xc, block_n=128,
                                           interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_forest_tree_plan_covers_forest():
+    """The grouping plan must partition internal-node columns and leaf
+    rows exactly, with every group covering whole trees (block-diagonal
+    support: no leaf references a column outside its group)."""
+    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                         fit_random_forest,
+                                                         forest_tree_plan)
+
+    rng = np.random.default_rng(17)
+    x = rng.random((200, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 200)
+    forest, _ = fit_random_forest(x, y, n_estimators=60, seed=0)
+    gf = _gemm_for(forest, 19)
+    plan = forest_tree_plan(gf)
+    assert plan is not None and len(plan) > 1
+    m, l = gf.path.shape[0], gf.path.shape[1]
+    assert plan[0][0] == 0 and plan[0][2] == 0
+    for i in range(1, len(plan)):
+        assert plan[i][0] == plan[i - 1][0] + plan[i - 1][1]
+        assert plan[i][2] == plan[i - 1][2] + plan[i - 1][3]
+    assert plan[-1][0] + plan[-1][1] == m
+    assert plan[-1][2] + plan[-1][3] == l
+    path = np.asarray(gf.path.astype(jnp.float32))
+    for mo, mc, lo, lc in plan:
+        block = path[:, lo:lo + lc]
+        cols = np.flatnonzero((block != 0).any(axis=1))
+        assert cols.min() >= mo and cols.max() < mo + mc
+
+
+def test_forest_labels_grouped_matches_dense():
+    """The tree-grouped block-diagonal kernel == the dense kernel == the
+    XLA route, bit-for-bit (pure and impure leaves, tie-breaking)."""
+    from rs_image_segmentation_tpu.models.forest import (_gemm_for,
+                                                         fit_random_forest,
+                                                         forest_tree_plan)
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        forest_block_n, forest_labels_pallas)
+    from rs_image_segmentation_tpu.pipeline.turbo import gemm_labels_cm
+
+    rng = np.random.default_rng(23)
+    x = rng.random((120, 19)).astype(np.float32)
+    y = rng.integers(1, 4, 120)
+    forest, _ = fit_random_forest(x, y, n_estimators=40, seed=0)
+    gf = _gemm_for(forest, 19)
+    plan = forest_tree_plan(gf)
+    assert plan is not None and len(plan) > 1
+    assert forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0],
+                          plan=plan) > 0
+    xc = jnp.asarray(rng.random((19, 7000)).astype(np.float32))
+    ref = np.asarray(gemm_labels_cm(gf, xc, 2048))
+    dense = np.asarray(forest_labels_pallas(gf, xc, block_n=256,
+                                            interpret=True))
+    grouped = np.asarray(forest_labels_pallas(gf, xc, block_n=256,
+                                              interpret=True, plan=plan))
+    np.testing.assert_array_equal(dense, ref)
+    np.testing.assert_array_equal(grouped, ref)
