@@ -54,34 +54,44 @@ def test_pp_matches_serial(rng):
         assert np.array_equal(r, g)
 
 
-def test_pp_overlaps_stages(rng):
-    """Wall-clock of the pipelined run must beat the serial sum of stages
-    (SURVEY §2.7 PP; VERDICT r1 #10). Virtual CPU devices share the
-    host's physical cores, so on a single-core host the two stages can
-    never execute concurrently no matter the placement (measured: 48.3 s
-    pipelined vs 50.2 s serial — only dispatch overhead differs). Gate on
-    core count; benchmarks/pp_overlap.py demonstrates the overlap on this
-    machine's genuinely concurrent pair (TPU + host CPU)."""
-    import os
-    if (os.cpu_count() or 1) < 4:
-        import pytest
-        pytest.skip("overlap needs spare physical cores (XLA:CPU intra-op "
-                    "threads already contend on small hosts); this host "
-                    "has too few (see benchmarks/pp_overlap.py)")
-    scenes, gf = _setup(rng, n_scenes=6, hw=252)
+def test_pp_overlap_in_device_timeline(rng, tmp_path):
+    """The pipelined schedule must show stage-2 / stage-3 execution
+    intervals INTERLEAVING across the two device lanes in the recorded
+    jax.profiler timeline, with the serialized schedule as a zero-overlap
+    negative control (VERDICT r2 #3 / missing #3).
 
+    This is wall-clock-independent: XLA:CPU records per-thunk execution
+    events on each device's executor thread, and those spans overlap
+    whenever both executors had work in flight — measured 166 vs 0
+    overlapping pairs on a SINGLE-core host (threads timeshare, so
+    concurrent schedules still produce intersecting spans, while the
+    block_until_ready serial control cannot). Wall-clock SPEEDUP, by
+    contrast, needs real spare cores (round-2's skip); see
+    benchmarks/pp_overlap.py for that measurement."""
+    from rs_image_segmentation_tpu.utils.traceview import (
+        device_exec_intervals, total_cross_lane_overlap_us)
+
+    scenes, gf = _setup(rng, n_scenes=6, hw=252)
     _serial(scenes[:1], gf)                      # compile serial path
     pp_classify_scenes(scenes[:1], gf, CFG)      # compile pp path
 
-    t0 = time.perf_counter()
-    ref = _serial(scenes, gf)
-    serial_s = time.perf_counter() - t0
+    serial_dir = str(tmp_path / "serial")
+    with jax.profiler.trace(serial_dir):
+        ref = _serial(scenes, gf)
+    serial_lanes = device_exec_intervals(serial_dir)
+    serial_us = total_cross_lane_overlap_us(serial_lanes)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    pp_dir = str(tmp_path / "pp")
+    with jax.profiler.trace(pp_dir):
         got = pp_classify_scenes(scenes, gf, CFG)
-        best = min(best, time.perf_counter() - t0)
+    pp_lanes = device_exec_intervals(pp_dir)
+    pp_us = total_cross_lane_overlap_us(pp_lanes)
+
     for r, g in zip(ref, got):
         assert np.array_equal(r, g)
-    assert best < serial_s * 0.95, (best, serial_s)
+    # two devices actually executed, concurrently, only when pipelined:
+    # the serialized control accumulates at most stray sliver overlap
+    # (microseconds, from unrelated session programs), the pipelined run
+    # real concurrent execution time (tens of ms at these shapes)
+    assert len([k for k, v in pp_lanes.items() if v]) >= 2, pp_lanes.keys()
+    assert pp_us >= max(5_000.0, 10.0 * serial_us), (pp_us, serial_us)
