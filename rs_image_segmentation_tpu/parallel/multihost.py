@@ -119,7 +119,8 @@ _CLASSIFY_CACHE: dict = {}
 
 def classify_batch_multihost(scenes_local: np.ndarray,
                              luts_local: np.ndarray,
-                             gf, cfg, mesh) -> np.ndarray:
+                             gf, cfg, mesh,
+                             pad_to: Optional[int] = None) -> np.ndarray:
     """Turbo-classify a multi-host scene batch.
 
     Every process passes its local ``(B_local, 7, H, W)`` uint8 scenes
@@ -129,6 +130,13 @@ def classify_batch_multihost(scenes_local: np.ndarray,
     class maps back. The global batch must divide the 'data' axis size.
     Reference semantics identical to
     ``pipeline.turbo.classify_scenes_turbo`` (tested bit-equal).
+
+    UNEVEN per-host batches: hosts agree on ``pad_to`` (the max local
+    count); lighter hosts pad up by repeating their last scene and
+    receive only their true scenes' maps back. Padding is exact — the
+    turbo program vmaps every per-scene statistic, so scene i's map is
+    independent of the rest of the batch (same argument as the serving
+    engine's bucket padding).
 
     The per-device body runs under ``jax.shard_map`` (not GSPMD
     auto-partitioning): on TPU the forest inference is a ``pallas_call``,
@@ -140,6 +148,17 @@ def classify_batch_multihost(scenes_local: np.ndarray,
     from jax.sharding import PartitionSpec as P
 
     from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
+
+    b_local = scenes_local.shape[0]
+    if pad_to is not None:
+        if b_local > pad_to or b_local < 1:
+            raise ValueError(f"local batch {b_local} must be in "
+                             f"[1, pad_to={pad_to}]")
+        if b_local < pad_to:
+            reps = [scenes_local[-1:]] * (pad_to - b_local)
+            scenes_local = np.concatenate([scenes_local] + reps)
+            luts_local = np.concatenate(
+                [luts_local] + [luts_local[-1:]] * (pad_to - b_local))
 
     scenes_g = shard_local_batch(scenes_local, mesh)
     luts_g = shard_local_batch(luts_local, mesh)
@@ -169,4 +188,4 @@ def classify_batch_multihost(scenes_local: np.ndarray,
 
         _CLASSIFY_CACHE[key] = fn
     maps = fn(scenes_g, luts_g, gf)
-    return local_shards(maps)
+    return local_shards(maps)[:b_local]
