@@ -319,22 +319,34 @@ def forest_tree_plan(gf: GemmForest, min_block: int = 128,
         if roots[0] == 0:
             tree_m = np.diff(np.concatenate([roots, [m]]))
             tree_l = np.diff(np.concatenate([starts_l, [l]]))
-            n_groups = min(max_groups, max(1, m // min_block))
-            target = -(-m // n_groups)
+            # pack trees while BOTH the group's internal-node and leaf
+            # counts stay within one lane tile (128): padded group dims
+            # drive the kernel's per-column elementwise work, so spilling
+            # into a 256 pad doubles the VPU cost of compare/fired even
+            # as the MXU MACs shrink (measured: 256-pad groups gave only
+            # 12% vs the ~2x of 128-pad ones). A single oversized tree
+            # raises the bound to its own padded size.
+            bound = max(min_block,
+                        int(max(tree_m.max(), tree_l.max())))
+            bound = ((bound + min_block - 1) // min_block) * min_block
             groups = []
             t0 = 0
-            acc = 0
+            m_acc = l_acc = 0
             for t in range(len(roots)):
-                acc += int(tree_m[t])
-                if acc >= target or t == len(roots) - 1:
+                if (m_acc and (m_acc + int(tree_m[t]) > bound
+                               or l_acc + int(tree_l[t]) > bound)
+                        and len(groups) < max_groups - 1):
                     m_off = int(roots[t0])
                     l_off = int(starts_l[t0])
-                    m_end = int(roots[t + 1]) if t + 1 < len(roots) else m
-                    l_end = int(starts_l[t + 1]) if t + 1 < len(roots) else l
-                    groups.append((m_off, m_end - m_off,
-                                   l_off, l_end - l_off))
-                    t0 = t + 1
-                    acc = 0
+                    groups.append((m_off, int(roots[t]) - m_off,
+                                   l_off, int(starts_l[t]) - l_off))
+                    t0 = t
+                    m_acc = l_acc = 0
+                m_acc += int(tree_m[t])
+                l_acc += int(tree_l[t])
+            m_off = int(roots[t0])
+            l_off = int(starts_l[t0])
+            groups.append((m_off, m - m_off, l_off, l - l_off))
             if len(groups) > 1:
                 plan = tuple(groups)
     _PLAN_CACHE[key] = (gf.path, plan)
