@@ -59,11 +59,21 @@ def main() -> None:
     x_cm = jnp.asarray(rng.random((19, 8 * arr.shape[1] * arr.shape[2])
                                   ).astype(np.float32))
 
+    from rs_image_segmentation_tpu.models.forest import forest_tree_plan
+
     bn = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0])
     use_pallas_forest = bool(bn) and jax.default_backend() == "tpu"
     forest_fn = (functools.partial(forest_labels_pallas, gf, x_cm, block_n=bn)
                  if use_pallas_forest
                  else functools.partial(T.gemm_labels_cm, gf, x_cm))
+    plan = forest_tree_plan(gf)
+    bn_g = forest_block_n(gf.selector.shape[1], gf.leaf_dist.shape[0],
+                          plan=plan) if plan else 0
+    forest_grouped_fn = (
+        functools.partial(forest_labels_pallas, gf, x_cm, block_n=bn_g,
+                          plan=plan)
+        if use_pallas_forest and plan and bn_g
+        else functools.partial(T.gemm_labels_cm, gf, x_cm, plan=plan))
     pre_fn = jax.jit(lambda b, l: jax.vmap(
         lambda s, li: T._preamble(s, li)[0])(b, l))
     stack_fn = jax.jit(lambda b, l: jax.vmap(
@@ -73,6 +83,8 @@ def main() -> None:
         ("preamble_lut_hist_x8", 8 * mp_scene, lambda: pre_fn(bd, ld)),
         ("preamble_plus_stack_x8", 8 * mp_scene, lambda: stack_fn(bd, ld)),
         ("forest_inference_2.88Mpx", 8 * mp_scene, forest_fn),
+        ("forest_inference_grouped_2.88Mpx", 8 * mp_scene,
+         forest_grouped_fn),
         ("turbo_full_x8", 8 * mp_scene,
          lambda: T.classify_scenes_turbo(bd, ld, gf, cfg)),
         ("kmeans_turbo_x1", mp_scene,
