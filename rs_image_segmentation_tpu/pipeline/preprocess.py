@@ -87,6 +87,71 @@ def build_stretch_lut(arr_u8: np.ndarray, gains, biases) -> np.ndarray:
     return lut
 
 
+STRETCH_FIXUPS = 6      # per-band fixup slots in the fixed-point params
+_STRETCH_SHIFT = 16
+
+
+def build_stretch_params(arr_u8: np.ndarray, gains, biases):
+    """``(lut, params)``: the exact stretch LUT plus per-band int32
+    fixed-point routing for the mixed Pallas preamble kernel.
+
+    ``params`` is ``(C, 3 + 2*STRETCH_FIXUPS)`` int32 — per band
+    ``[mode, A32, B32, fix_dn*K, fix_delta*K]``. ``mode=1`` means
+    ``clip((A32*dn + B32) >> 16, 0, 255) + fixups == lut[dn]`` for EVERY
+    DN present in the band (verified here over the band's [min, max] DN
+    range) — the in-kernel table lookup becomes ~6 integer ops instead
+    of a 16x16 bilinear one-hot dot (measured ~6x on the preamble).
+    ``mode=0`` keeps the bilinear table path for that band — bands whose
+    f64 LUT cannot be reproduced within the fixup budget: full-range
+    bands have stretch slope exactly 1.0 and the f64 rounding pattern is
+    an irregular v/v-1 staircase (the bundled scene's bands 4/6), and
+    near-constant bands overflow the fixed point. Unused fixup slots
+    hold DN -1 (never matches).
+
+    Like the LUT itself, params are only valid for THIS scene's DN range
+    (the turbo contract already requires the lut be built from the
+    scene)."""
+    lut = build_stretch_lut(arr_u8, gains, biases)
+    g = np.asarray(gains, np.float64)
+    b = np.asarray(biases, np.float64)
+    c = arr_u8.shape[0]
+    k = STRETCH_FIXUPS
+    params = np.full((c, 3 + 2 * k), -1, np.int32)
+    params[:, 0] = 0
+    for i in range(c):
+        vmin = int(arr_u8[i].min())
+        vmax = int(arr_u8[i].max())
+        cal_lo = g[i] * vmin + b[i]
+        cal_hi = g[i] * vmax + b[i]
+        mn, mx = min(cal_lo, cal_hi), max(cal_lo, cal_hi)
+        if mx <= mn:
+            continue                                    # mode 0
+        a = 255.0 * g[i] / (mx - mn)
+        off = (b[i] - mn) * 255.0 / (mx - mn)
+        a32 = int(round(a * (1 << _STRETCH_SHIFT)))
+        if abs(a32) > (1 << 23):     # A32 * 255 must stay in int32
+            continue                                    # mode 0
+        v = np.arange(vmin, vmax + 1, dtype=np.int64)
+        want = lut[i, vmin:vmax + 1].astype(np.int64)
+        best = None
+        for db in range(-2, 3):
+            b32 = int(round(off * (1 << _STRETCH_SHIFT))) + db
+            cand = np.clip((a32 * v + b32) >> _STRETCH_SHIFT, 0, 255)
+            bad = np.flatnonzero(cand != want)
+            if best is None or len(bad) < len(best[1]):
+                best = (b32, bad, cand)
+        b32, bad, cand = best
+        if len(bad) > k:
+            continue                                    # mode 0
+        params[i, 0] = 1
+        params[i, 1] = a32
+        params[i, 2] = b32
+        for s, j in enumerate(bad):
+            params[i, 3 + s] = int(v[j])
+            params[i, 3 + k + s] = int(want[j] - cand[j])
+    return lut, params
+
+
 @jax.jit
 def preprocess_bands_device_lut(bands_u8: jnp.ndarray,
                                 calv: jnp.ndarray) -> jnp.ndarray:

@@ -139,15 +139,19 @@ def percentiles_from_counts(counts: jnp.ndarray, values: jnp.ndarray,
 
 # ------------------------------------------------------- feature stack
 
-def _preamble(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray):
+def _preamble(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
+              sp=None):
     """Stretch LUT + histogram. On TPU this is ONE fused Pallas pass over
     the scene (ops.pallas_kernels.lut_hist_pallas — the one-hot feeding
     the exact LUT matmul yields the histogram for free, bit-identical and
-    measured 1.7x the two-pass XLA lowering); elsewhere the XLA pair."""
+    measured 1.7x the two-pass XLA lowering); elsewhere the XLA pair.
+    ``sp``: optional fixed-point stretch params
+    (``pipeline.preprocess.build_stretch_params``) — the arithmetic
+    kernel variant, ~6x faster, bit-exact for the scene's DNs."""
     if jax.default_backend() == "tpu":
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             lut_hist_pallas)
-        return lut_hist_pallas(scene_u8, stretch_lut_u8)
+        return lut_hist_pallas(scene_u8, stretch_lut_u8, sp=sp)
     st = apply_u8_lut_mxu(scene_u8, stretch_lut_u8)
     return st.astype(jnp.float32), histogram256(st)
 
@@ -301,16 +305,20 @@ def gemm_labels_cm(gf: GemmForest, x_cm: jnp.ndarray,
 def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
                           gf: GemmForest,
                           cfg: FeatureStageConfig = FeatureStageConfig(),
-                          chunk: int = 32768) -> jnp.ndarray:
+                          chunk: int = 32768,
+                          stretch_params=None) -> jnp.ndarray:
     """ONE device program: (B, 7, H, W) raw uint8 scenes + (B, 7, 256)
     stretch LUTs -> (B, H, W) uint8 class maps. Preprocess, 19-channel
     feature extraction, and forest inference fused, channel-major
     throughout. Thin wrapper: derives the static tree-group plan from a
     concrete forest (None under an outer trace) and dispatches to the
-    jitted program."""
+    jitted program. ``stretch_params``: optional (B, 7, 2+2K) int32
+    fixed-point stretch params (build_stretch_params) for the ~6x
+    faster arithmetic preamble."""
     from rs_image_segmentation_tpu.models.forest import forest_tree_plan
     return _classify_scenes_turbo(scenes_u8, stretch_luts_u8, gf, cfg,
-                                  chunk, forest_tree_plan(gf))
+                                  chunk, forest_tree_plan(gf),
+                                  stretch_params)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "plan"))
@@ -318,11 +326,17 @@ def _classify_scenes_turbo(scenes_u8: jnp.ndarray,
                            stretch_luts_u8: jnp.ndarray,
                            gf: GemmForest,
                            cfg: FeatureStageConfig = FeatureStageConfig(),
-                           chunk: int = 32768, plan=None) -> jnp.ndarray:
+                           chunk: int = 32768, plan=None,
+                           stretch_params=None) -> jnp.ndarray:
     b, c, h, w = scenes_u8.shape
-    stacks = jax.vmap(
-        lambda s, l: _stack_cm_from_parts(*_preamble(s, l), cfg)
-    )(scenes_u8, stretch_luts_u8)                           # (B, 19, H, W)
+    if stretch_params is not None:
+        stacks = jax.vmap(
+            lambda s, l, p: _stack_cm_from_parts(*_preamble(s, l, p), cfg)
+        )(scenes_u8, stretch_luts_u8, stretch_params)       # (B, 19, H, W)
+    else:
+        stacks = jax.vmap(
+            lambda s, l: _stack_cm_from_parts(*_preamble(s, l), cfg)
+        )(scenes_u8, stretch_luts_u8)                       # (B, 19, H, W)
     if jax.default_backend() == "tpu" and gf.leaf_dist.shape[1] <= 8:
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             forest_block_n, forest_labels_pallas)

@@ -396,7 +396,7 @@ class InferenceEngine:
         import jax.numpy as jnp
 
         from rs_image_segmentation_tpu.pipeline.preprocess import (
-            build_stretch_lut)
+            build_stretch_lut, build_stretch_params)
 
         method = method if method is not None else self._method
         n = len(scenes)
@@ -412,8 +412,18 @@ class InferenceEngine:
         # first n outputs bit-identical to an unpadded run
         padded = list(scenes) + [scenes[-1]] * (b - n)
         batch = np.stack(padded)
-        luts = np.stack([build_stretch_lut(s, self._gains, self._biases)
-                         for s in padded]).astype(np.uint8)
+        if method == "random_forest" and self._gf is not None:
+            # per-band fixed-point stretch routing sends fitted bands to
+            # the ~6x-faster arithmetic preamble path (bit-exact either
+            # way; unfittable bands keep the table path in-kernel)
+            pairs = [build_stretch_params(s, self._gains, self._biases)
+                     for s in padded]
+            luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
+            sps = np.stack([p[1] for p in pairs])
+        else:
+            luts = np.stack([build_stretch_lut(s, self._gains, self._biases)
+                             for s in padded]).astype(np.uint8)
+            sps = None
         with self._lock:
             if record_stats:
                 self._stats["batches"] += 1
@@ -426,7 +436,10 @@ class InferenceEngine:
         elif self._gf is not None:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 classify_scenes_turbo)
-            maps = classify_scenes_turbo(bd, ld, self._gf, self._cfg)
+            maps = classify_scenes_turbo(
+                bd, ld, self._gf, self._cfg,
+                stretch_params=(jnp.asarray(sps) if sps is not None
+                                else None))
         else:
             maps = self._fallback_batch(batch, luts)
         out = np.asarray(maps)[:n]

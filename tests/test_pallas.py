@@ -220,3 +220,82 @@ def test_forest_labels_grouped_matches_dense():
                                               interpret=True, plan=plan))
     np.testing.assert_array_equal(dense, ref)
     np.testing.assert_array_equal(grouped, ref)
+
+
+def test_build_stretch_params_reproduces_lut():
+    """mode=1 bands' fixed-point params must reproduce the exact f64 LUT
+    for every DN PRESENT in the band (the turbo contract: luts/params
+    are built from the scene they preprocess); unfittable bands must be
+    routed to mode=0 rather than approximated."""
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        STRETCH_FIXUPS, build_stretch_params)
+
+    cal = CalibrationConfig()
+    k = STRETCH_FIXUPS
+    # narrow-range scenes: generic slopes, every band fits (mode 1)
+    for seed in range(4):
+        scene = np.random.default_rng(seed).integers(
+            17, 201, (7, 64, 64)).astype(np.uint8)
+        lut, sp = build_stretch_params(scene, np.asarray(cal.gains),
+                                       np.asarray(cal.biases))
+        assert sp.shape == (7, 3 + 2 * k)
+        assert (sp[:, 0] == 1).all(), sp[:, 0]
+        for i in range(7):
+            v = np.arange(int(scene[i].min()), int(scene[i].max()) + 1,
+                          dtype=np.int64)
+            cand = np.clip((int(sp[i, 1]) * v + int(sp[i, 2])) >> 16,
+                           0, 255)
+            for f in range(k):
+                cand = cand + np.where(v == sp[i, 3 + f],
+                                       sp[i, 3 + k + f], 0)
+            np.testing.assert_array_equal(cand, lut[i, v].astype(np.int64))
+
+    # full-range bands: stretch slope exactly 1.0, f64 staircase is
+    # irregular -> must fall back to the table path (mode 0)
+    wide = np.random.default_rng(9).integers(0, 256, (7, 64, 64)
+                                             ).astype(np.uint8)
+    wide[:, 0, 0] = 0
+    wide[:, 0, 1] = 255
+    _, spw = build_stretch_params(wide, np.asarray(cal.gains),
+                                  np.asarray(cal.biases))
+    assert (spw[:, 0] == 0).any()
+
+    # a constant band has no stretch slope -> mode 0
+    flat = np.full((7, 16, 16), 7, np.uint8)
+    _, spf = build_stretch_params(flat, np.asarray(cal.gains),
+                                  np.asarray(cal.biases))
+    assert (spf[:, 0] == 0).all()
+
+
+def test_lut_hist_mixed_kernel_matches_table_kernel():
+    """The mixed (per-band arithmetic/table) kernel must equal the pure
+    table kernel bit-for-bit (stretched values AND histogram), f32 and
+    u8 outputs, including scenes that mix mode-1 and mode-0 bands."""
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.ops.pallas_kernels import lut_hist_pallas
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_params)
+
+    cal = CalibrationConfig()
+    rng = np.random.default_rng(31)
+    # narrow bands (all arith) AND a full-range band (table fallback)
+    scene = rng.integers(17, 201, (7, 70, 90)).astype(np.uint8)
+    scene[4, 0, 0] = 0
+    scene[4, 0, 1] = 255
+    lut, sp = build_stretch_params(scene, np.asarray(cal.gains),
+                                   np.asarray(cal.biases))
+    assert (sp[:, 0] == 1).any() and (sp[:, 0] == 0).any()
+    lut_u8 = jnp.asarray(lut.astype(np.uint8))
+    sd = jnp.asarray(scene)
+    st_t, h_t = lut_hist_pallas(sd, lut_u8, interpret=True)
+    st_a, h_a = lut_hist_pallas(sd, lut_u8, interpret=True,
+                                sp=jnp.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(st_t), np.asarray(st_a))
+    np.testing.assert_array_equal(np.asarray(h_t), np.asarray(h_a))
+    st8_t, h8_t = lut_hist_pallas(sd, lut_u8, interpret=True, out_u8=True)
+    st8_a, h8_a = lut_hist_pallas(sd, lut_u8, interpret=True, out_u8=True,
+                                  sp=jnp.asarray(sp))
+    assert st8_a.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(st8_t), np.asarray(st8_a))
+    np.testing.assert_array_equal(np.asarray(h8_t), np.asarray(h8_a))
