@@ -106,6 +106,9 @@ class _Handler(BaseHTTPRequestHandler):
                                   "pending": st["pending"]})
         elif self.path == "/stats":
             self._send_json(200, self.engine.stats())
+        elif self.path == "/metrics":
+            self._send(200, _prometheus_metrics(self.engine.stats()),
+                       "text/plain; version=0.0.4")
         else:
             self._send_json(404, {"error": f"no route {self.path}"})
 
@@ -166,6 +169,45 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(200, _write_tiff_bytes(class_map, meta), "image/tiff")
         else:
             self._send(200, _npy_bytes(class_map), "application/x-npy")
+
+
+def _prometheus_metrics(st: dict) -> bytes:
+    """Prometheus text exposition of the engine counters (scrape with
+    any stock Prometheus; the reference's only observability is print()
+    — SURVEY §5 row 5)."""
+    lines = []
+
+    def add(name, kind, help_, value, labels=""):
+        lines.append(f"# HELP rsseg_{name} {help_}")
+        lines.append(f"# TYPE rsseg_{name} {kind}")
+        lines.append(f"rsseg_{name}{labels} {value}")
+
+    add("requests_total", "counter", "scenes submitted", st["requests"])
+    add("batches_total", "counter", "device programs dispatched",
+        st["batches"])
+    add("padded_scenes_total", "counter", "bucket-padding duplicates",
+        st["padded_scenes"])
+    add("errors_total", "counter", "requests failed in device batches",
+        st["errors"])
+    add("cancelled_total", "counter", "requests cancelled while queued",
+        st["cancelled"])
+    add("rejected_total", "counter", "requests rejected at max_pending",
+        st["rejected"])
+    add("pending", "gauge", "scenes waiting for dispatch", st["pending"])
+    lines.append("# HELP rsseg_method_requests_total requests per method")
+    lines.append("# TYPE rsseg_method_requests_total counter")
+    for m, n in sorted(st.get("methods", {}).items()):
+        lines.append(f'rsseg_method_requests_total{{method="{m}"}} {n}')
+    lat = st.get("latency_s")
+    if lat:
+        lines.append("# HELP rsseg_latency_seconds request latency "
+                     "(recent window)")
+        lines.append("# TYPE rsseg_latency_seconds summary")
+        for q in ("p50", "p90"):
+            lines.append(f'rsseg_latency_seconds{{quantile='
+                         f'"0.{q[1:]}"}} {lat[q]:.6f}')
+        lines.append(f"rsseg_latency_seconds_count {lat['n']}")
+    return ("\n".join(lines) + "\n").encode()
 
 
 def _read_tiff_bytes(body: bytes) -> Tuple[np.ndarray, object]:

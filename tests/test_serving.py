@@ -547,3 +547,17 @@ def test_engine_survives_batch_failure(forest):
         # next request must succeed on the same engine
         out = eng.classify(scene, timeout=600)
         np.testing.assert_array_equal(out, _direct(scene, forest))
+
+
+def test_http_metrics_endpoint(server, engine):
+    """Prometheus exposition: counters present, parseable, consistent
+    with /stats."""
+    import urllib.request
+    with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    st = engine.stats()
+    assert f"rsseg_requests_total {st['requests']}" in body
+    assert "rsseg_pending" in body and "# TYPE rsseg_batches_total counter" in body
+    for m, n in st.get("methods", {}).items():
+        assert f'rsseg_method_requests_total{{method="{m}"}} {n}' in body
