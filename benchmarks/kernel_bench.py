@@ -43,7 +43,8 @@ def main() -> None:
     from rs_image_segmentation_tpu.ops.pallas_kernels import (
         forest_block_n, forest_labels_pallas)
     from rs_image_segmentation_tpu.pipeline import turbo as T
-    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_lut, build_stretch_params)
 
     arr, cal, cfg, forest, depth, gf = load_bundled_forest()
     gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
@@ -52,7 +53,9 @@ def main() -> None:
     batch = np.ascontiguousarray(np.broadcast_to(arr, (8,) + arr.shape)).copy()
     luts = np.stack([build_stretch_lut(s, gains, biases)
                      for s in batch]).astype(np.uint8)
-    bd, ld = jnp.asarray(batch), jnp.asarray(luts)
+    sps = np.stack([build_stretch_params(s, gains, biases)[1]
+                    for s in batch])
+    bd, ld, sd = jnp.asarray(batch), jnp.asarray(luts), jnp.asarray(sps)
     lut1 = jnp.asarray(luts[0])
     a1 = jnp.asarray(arr)
     rng = np.random.default_rng(0)
@@ -76,17 +79,24 @@ def main() -> None:
         else functools.partial(T.gemm_labels_cm, gf, x_cm, plan=plan))
     pre_fn = jax.jit(lambda b, l: jax.vmap(
         lambda s, li: T._preamble(s, li)[0])(b, l))
+    pre_fp_fn = jax.jit(lambda b, l, p: jax.vmap(
+        lambda s, li, pi: T._preamble(s, li, pi)[0])(b, l, p))
     stack_fn = jax.jit(lambda b, l: jax.vmap(
         lambda s, li: T._stack_cm_from_parts(*T._preamble(s, li), cfg)
     )(b, l)[:, :, ::97, ::97])
     components = [
         ("preamble_lut_hist_x8", 8 * mp_scene, lambda: pre_fn(bd, ld)),
+        ("preamble_fixedpoint_x8", 8 * mp_scene,
+         lambda: pre_fp_fn(bd, ld, sd)),
         ("preamble_plus_stack_x8", 8 * mp_scene, lambda: stack_fn(bd, ld)),
         ("forest_inference_2.88Mpx", 8 * mp_scene, forest_fn),
         ("forest_inference_grouped_2.88Mpx", 8 * mp_scene,
          forest_grouped_fn),
         ("turbo_full_x8", 8 * mp_scene,
          lambda: T.classify_scenes_turbo(bd, ld, gf, cfg)),
+        ("turbo_full_fixedpoint_x8", 8 * mp_scene,
+         lambda: T.classify_scenes_turbo(bd, ld, gf, cfg,
+                                         stretch_params=sd)),
         ("kmeans_turbo_x1", mp_scene,
          lambda: T.kmeans_scenes_turbo(a1, lut1, cfg=cfg)),
         ("rule_based_turbo_x1", mp_scene,

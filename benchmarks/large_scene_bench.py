@@ -74,6 +74,26 @@ def main() -> None:
     t_cls = time.perf_counter() - t0
 
     assert out.shape == (h, w) and set(np.unique(out)) <= {1, 2, 3}
+
+    # Warm steady-state: a DIFFERENT 36 MP scene through the same process
+    # (the deployment shape — long-lived server; the fresh-process figures
+    # above are dominated by per-program persistent-cache loads through
+    # this environment's compile service, not by device work).
+    big2 = np.empty((7, h, w), np.uint8)
+    for i in range(reps):
+        for j in range(reps):
+            big2[:, i * 600:(i + 1) * 600, j * 600:(j + 1) * 600] = np.roll(
+                aa, 7 + 13 * (i * reps + j), axis=2)
+    t0 = time.perf_counter()
+    pre2, hists2 = preprocess_large(big2, cal, return_device=True,
+                                    return_hist=True)
+    jax.device_get(pre2[0, :1, :1])
+    t_pre_w = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out2 = classify_large_scene(pre2, gf, cfg, tile_rows=504, hists=hists2)
+    t_cls_w = time.perf_counter() - t0
+    assert out2.shape == (h, w) and set(np.unique(out2)) <= {1, 2, 3}
+
     # spot-check: the first 600x600 block is the bundled scene unrolled
     print(json.dumps({
         "metric": "large-scene tiled classification",
@@ -83,6 +103,10 @@ def main() -> None:
         "classify_mp_per_s": round(mp / t_cls, 3),
         "e2e_mp_per_s": round(mp / (t_pre + t_cls), 3),
         "vs_baseline": round(mp / (t_pre + t_cls) / 0.058, 1),
+        "warm_preprocess_s": round(t_pre_w, 2),
+        "warm_classify_s": round(t_cls_w, 2),
+        "warm_e2e_mp_per_s": round(mp / (t_pre_w + t_cls_w), 3),
+        "warm_vs_baseline": round(mp / (t_pre_w + t_cls_w) / 0.058, 1),
     }), flush=True)
     os._exit(0)
 

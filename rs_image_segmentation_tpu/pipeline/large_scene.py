@@ -185,16 +185,30 @@ def preprocess_large(arr: np.ndarray,
             return out, hist
         return out
     # streaming (> DEVICE_RESIDENT_MAX_BYTES): per-tile host writeback so
-    # device memory stays bounded — the whole point of this mode
+    # device memory stays bounded — the whole point of this mode. One-tile
+    # lookahead: tile i+1's H2D + kernel dispatch is issued BEFORE tile i's
+    # result is fetched, so transfer and compute overlap (dispatch is
+    # async); at most two tiles + two outputs are in flight.
     out = np.zeros((c, h, w), np.uint8)
     hsum = None
+
+    def drain(item):
+        nonlocal hsum
+        p0, pe, p_out, p_hist = item
+        out[:, p0:pe, :] = np.asarray(p_out)
+        if p_hist is not None:
+            p_hist = np.asarray(p_hist).astype(np.int64)
+            hsum = p_hist if hsum is None else hsum + p_hist
+
+    prev = None
     for y0 in range(0, h, tile_rows):
         ye = min(h, y0 + tile_rows)
-        t_out, t_hist = apply(_get_tile(src, y0, ye))
-        out[:, y0:ye, :] = np.asarray(t_out)
-        if t_hist is not None:
-            t_hist = np.asarray(t_hist).astype(np.int64)
-            hsum = t_hist if hsum is None else hsum + t_hist
+        cur = (y0, ye, *apply(_get_tile(src, y0, ye)))
+        if prev is not None:
+            drain(prev)
+        prev = cur
+    if prev is not None:
+        drain(prev)
     return (out, hsum) if return_hist else out
 
 
@@ -506,6 +520,18 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
     n = 0
     sobel_max = 0.0
     pending = []
+
+    def drain_streaming(item):
+        nonlocal s1_acc, s2_acc, sobel_max
+        y0, glcm_rows, res = item
+        s1_acc += np.asarray(res[0], np.float64)
+        s2_acc += np.asarray(res[1], np.float64)
+        gi = y0 // step
+        contrast_grid[gi:gi + glcm_rows] = np.asarray(res[2])[:glcm_rows]
+        homog_grid[gi:gi + glcm_rows] = np.asarray(res[3])[:glcm_rows]
+        sobel_max = max(sobel_max, float(res[4]))
+
+    prev = None
     for y0 in range(0, h, tile_rows):
         rows = min(tile_rows, h - y0)
         ys = max(0, y0 - 1)
@@ -517,13 +543,15 @@ def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
         n += rows * w
         if resident:
             pending.append((y0, glcm_rows, res))
-        else:  # streaming: fetch per tile so in-flight buffers stay bounded
-            s1_acc += np.asarray(res[0], np.float64)
-            s2_acc += np.asarray(res[1], np.float64)
-            gi = y0 // step
-            contrast_grid[gi:gi + glcm_rows] = np.asarray(res[2])[:glcm_rows]
-            homog_grid[gi:gi + glcm_rows] = np.asarray(res[3])[:glcm_rows]
-            sobel_max = max(sobel_max, float(res[4]))
+        else:
+            # streaming: one-tile lookahead — tile i+1's H2D + dispatch is
+            # issued before tile i's small result tuple is fetched, so
+            # transfer overlaps compute; two tiles in flight, bounded
+            if prev is not None:
+                drain_streaming(prev)
+            prev = (y0, glcm_rows, res)
+    if prev is not None:
+        drain_streaming(prev)
     if pending:
         # drain with ONE fetch per output kind (stacked on device); f64
         # accumulation still happens here on host, per tile, in order
@@ -683,6 +711,7 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
     resident = isinstance(src, jnp.ndarray)
     pending = []
     out = np.zeros((h, w), np.int32)
+    prev = None
     for y0 in range(0, h, tile_rows):
         rows = min(tile_rows, h - y0)
         ys = max(0, y0 - HALO)
@@ -691,8 +720,17 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
         dev = classify_tile(tile, y0, y0 - ys, rows)
         if resident:
             pending.append((y0, rows, dev))
-        else:  # streaming: per-tile writeback keeps device memory bounded
-            out[y0:y0 + rows] = np.asarray(dev)
+        else:
+            # streaming: one-tile lookahead (H2D of tile i+1 + dispatch
+            # before tile i's label fetch) — overlaps transfer with
+            # compute while device memory stays bounded at two tiles
+            if prev is not None:
+                p0, prows, pdev = prev
+                out[p0:p0 + prows] = np.asarray(pdev)
+            prev = (y0, rows, dev)
+    if prev is not None:
+        p0, prows, pdev = prev
+        out[p0:p0 + prows] = np.asarray(pdev)
     for y0, rows, dev in pending:  # drain once: tiles pipeline on device
         out[y0:y0 + rows] = np.asarray(dev)
     return out

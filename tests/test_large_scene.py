@@ -81,6 +81,39 @@ def test_large_scene_matches_monolithic(rng, aa_scene):
     assert agreement > 0.995, agreement
 
 
+def test_streaming_path_bit_identical_to_resident(rng, aa_scene,
+                                                  monkeypatch):
+    """The bounded-memory streaming mode (scene > DEVICE_RESIDENT_MAX_BYTES;
+    per-tile H2D with one-tile lookahead) must produce bit-identical
+    preprocess output, histograms, and class maps to the device-resident
+    mode. Forces streaming by shrinking the residency cap."""
+    from rs_image_segmentation_tpu.pipeline import large_scene as LS
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+
+    pre_res, hist_res = LS.preprocess_large(arr, cal, return_hist=True)
+    stack = np.asarray(hierarchical_stack_fused(
+        jnp.asarray(pre_res, jnp.float32), cfg))
+    sel = rng.integers(0, 600, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    map_res = LS.classify_large_scene(pre_res, gf, cfg, tile_rows=63,
+                                      hists=hist_res)
+
+    monkeypatch.setattr(LS, "DEVICE_RESIDENT_MAX_BYTES", 0)
+    pre_st, hist_st = LS.preprocess_large(arr, cal, tile_rows=128,
+                                          return_hist=True)
+    assert np.array_equal(pre_res, pre_st)
+    if hist_res is not None and hist_st is not None:
+        assert np.array_equal(hist_res, hist_st)
+    map_st = LS.classify_large_scene(pre_st, gf, cfg, tile_rows=63,
+                                     hists=hist_st)
+    assert np.array_equal(map_res, map_st)
+
+
 def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
     """8-way row sharding with halo exchange == monolithic classification
     on the FULL bundled 600x600 scene at the reference GLCM shape
