@@ -25,8 +25,8 @@ from rs_image_segmentation_tpu.ops.threshold import (
     otsu_threshold_u8, threshold_binary, threshold_otsu, median,
     histogram256)
 from rs_image_segmentation_tpu.ops.components import (
-    connected_components, remove_small_components, fill_holes,
-    post_process_mask)
+    connected_components, connected_components_best,
+    remove_small_components, fill_holes, post_process_mask)
 from rs_image_segmentation_tpu.ops.texture import (
     glcm_matrices, glcm_properties, glcm_feature_maps, lbp_uniform,
     lbp_feature, windowed_entropy_u8, entropy_feature)

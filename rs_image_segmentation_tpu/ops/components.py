@@ -106,6 +106,30 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     return jnp.where(fg, lab, -1)
 
 
+def connected_components_best(mask: jnp.ndarray, connectivity: int = 8,
+                              impl: str = "auto") -> jnp.ndarray:
+    """Backend-dispatched connected components, bit-identical across
+    implementations.
+
+    ``impl``:
+      * ``"auto"`` — the Pallas strip kernel on TPU (2.7-6.7x faster on
+        the bundled scene's rule masks: veg 60->22 ms, built 120->18 ms),
+        the XLA while-loop graph elsewhere.
+      * ``"xla"`` — always the XLA graph. Use under ``vmap``: batching a
+        ``while_loop`` runs every element for the max round count, which
+        measured slower for batched rule-based classification.
+      * ``"pallas"`` — always the Pallas kernel (interpreted off-TPU;
+        slow, for tests).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from rs_image_segmentation_tpu.ops.pallas_kernels import cc_pallas
+        return cc_pallas(mask, connectivity=connectivity,
+                         interpret=jax.default_backend() != "tpu")
+    return connected_components(mask, connectivity)
+
+
 def component_areas(labels: jnp.ndarray) -> jnp.ndarray:
     """Pixel count per root label (flat array of size H*W; zero elsewhere)."""
     h, w = labels.shape
@@ -118,9 +142,10 @@ def component_areas(labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def remove_small_components(mask: jnp.ndarray, min_area: int,
-                            connectivity: int = 8) -> jnp.ndarray:
+                            connectivity: int = 8,
+                            cc_impl: str = "auto") -> jnp.ndarray:
     """Zero out components with area < min_area (reference extract.py:320-330)."""
-    labels = connected_components(mask, connectivity)
+    labels = connected_components_best(mask, connectivity, impl=cc_impl)
     counts = component_areas(labels)
     flat = labels.reshape(-1)
     area = jnp.where(flat >= 0, counts[jnp.where(flat >= 0, flat, 0)], 0)
@@ -169,7 +194,8 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 4096) -> jnp.ndarray:
 
 def post_process_mask(mask: jnp.ndarray, min_area: int = 100,
                       smooth_kernel_size: int = 3,
-                      do_fill_holes: bool = True) -> jnp.ndarray:
+                      do_fill_holes: bool = True,
+                      cc_impl: str = "auto") -> jnp.ndarray:
     """The reference's ``advanced_post_processing`` (extract.py:299-341):
     ellipse close (as its hole filler when the kernel is odd) -> remove
     small 8-connected components -> ellipse open."""
@@ -180,7 +206,8 @@ def post_process_mask(mask: jnp.ndarray, min_area: int = 100,
     elif do_fill_holes:
         out = fill_holes(out)
     if min_area > 0:
-        out = remove_small_components(out, min_area, connectivity=8)
+        out = remove_small_components(out, min_area, connectivity=8,
+                                      cc_impl=cc_impl)
     if odd:
         out = opening(out, smooth_kernel_size, shape="ellipse")
     return out

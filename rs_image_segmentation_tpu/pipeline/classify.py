@@ -44,26 +44,32 @@ from rs_image_segmentation_tpu.ops.threshold import threshold_binary
 
 def rule_based_classify(ndvi: jnp.ndarray, ndwi: jnp.ndarray,
                         mndwi: Optional[jnp.ndarray], ndbi: jnp.ndarray,
-                        cfg: RuleBasedConfig = RuleBasedConfig()) -> jnp.ndarray:
+                        cfg: RuleBasedConfig = RuleBasedConfig(),
+                        cc_impl: str = "auto") -> jnp.ndarray:
     """Full rule-based device graph (reference 3_classification.py:335-375,
     extract.py:397-505). Returns uint8 labels {0,1=veg,2=water,3=builtup,
-    4=bareland}."""
+    4=bareland}. ``cc_impl`` picks the connected-components backend
+    (ops.components.connected_components_best); pass ``"xla"`` when this
+    graph is vmapped."""
     h, w = ndvi.shape
     area = h * w
 
     veg = threshold_binary(ndvi, cfg.ndvi_threshold)
-    veg = post_process_mask(veg, int(area * cfg.veg_min_area_frac), 3)
+    veg = post_process_mask(veg, int(area * cfg.veg_min_area_frac), 3,
+                            cc_impl=cc_impl)
 
     if cfg.use_mndwi_if_available and mndwi is not None:
         water = threshold_binary(mndwi, cfg.mndwi_threshold)
     else:
         water = threshold_binary(ndwi, cfg.ndwi_threshold)
-    water = post_process_mask(water, int(area * cfg.water_min_area_frac), 3)
+    water = post_process_mask(water, int(area * cfg.water_min_area_frac), 3,
+                              cc_impl=cc_impl)
 
     built = threshold_binary(ndbi, cfg.ndbi_threshold)
     non_veg = threshold_binary(ndvi, cfg.ndvi_threshold_for_builtup, above=False)
     built = (built.astype(bool) & non_veg.astype(bool)).astype(jnp.uint8)
-    built = post_process_mask(built, int(area * cfg.builtup_min_area_frac), 5)
+    built = post_process_mask(built, int(area * cfg.builtup_min_area_frac), 5,
+                              cc_impl=cc_impl)
 
     out = jnp.zeros((h, w), jnp.uint8)
     out = jnp.where(built == 1, 3, out)     # priority paint: builtup
@@ -77,7 +83,8 @@ def rule_based_classify(ndvi: jnp.ndarray, ndwi: jnp.ndarray,
             & (jnp.nan_to_num(ndvi) < cfg.bareland_ndvi_high)
             & (jnp.nan_to_num(ndbi) > cfg.bareland_ndbi_low)
             & (jnp.nan_to_num(ndbi) < cfg.bareland_ndbi_high)).astype(jnp.uint8)
-    bare = post_process_mask(bare, int(area * cfg.bareland_min_area_frac), 3)
+    bare = post_process_mask(bare, int(area * cfg.bareland_min_area_frac), 3,
+                             cc_impl=cc_impl)
     out = jnp.where((bare == 1) & (out == 0), 4, out)
     return out.astype(jnp.uint8)
 

@@ -381,11 +381,11 @@ def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
     return (labels.reshape(h, w) + 1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))
 def rule_based_scenes_turbo(scene_u8: jnp.ndarray,
                             stretch_lut_u8: jnp.ndarray,
                             cfg: FeatureStageConfig = FeatureStageConfig(),
-                            rule_cfg=None) -> jnp.ndarray:
+                            rule_cfg=None, cc_impl: str = "auto") -> jnp.ndarray:
     """Rule-based counterpart of :func:`classify_scenes_turbo` for ONE
     scene (BASELINE config #1 fused end-to-end): raw uint8 scene + exact
     stretch LUT -> normalized bands -> NDVI/NDWI/MNDWI/NDBI -> threshold
@@ -414,4 +414,4 @@ def rule_based_scenes_turbo(scene_u8: jnp.ndarray,
     green, red, nir, swir1 = bands01[1], bands01[2], bands01[3], bands01[4]
     return rule_based_classify(ndvi_fn(nir, red), ndwi_fn(green, nir),
                                mndwi_fn(green, swir1), ndbi_fn(swir1, nir),
-                               rule_cfg)
+                               rule_cfg, cc_impl=cc_impl)

@@ -299,3 +299,67 @@ def test_lut_hist_mixed_kernel_matches_table_kernel():
     assert st8_a.dtype == jnp.uint8
     np.testing.assert_array_equal(np.asarray(st8_t), np.asarray(st8_a))
     np.testing.assert_array_equal(np.asarray(h8_t), np.asarray(h8_a))
+
+
+def test_cc_pallas_matches_xla_random(rng):
+    from rs_image_segmentation_tpu.ops.components import connected_components
+    from rs_image_segmentation_tpu.ops.pallas_kernels import cc_pallas
+    for shape, p in [((64, 64), 0.5), ((200, 300), 0.6), ((130, 257), 0.4)]:
+        m = jnp.asarray(rng.random(shape) < p)
+        for conn in (8, 4):
+            ref = np.asarray(connected_components(m, connectivity=conn))
+            got = np.asarray(cc_pallas(m, connectivity=conn, interpret=True))
+            assert np.array_equal(ref, got), (shape, conn)
+
+
+def test_cc_pallas_structured_masks():
+    # adversarial geometries: labels must cross strip boundaries many
+    # times (spiral), plus degenerate empty/full masks
+    from rs_image_segmentation_tpu.ops.components import connected_components
+    from rs_image_segmentation_tpu.ops.pallas_kernels import cc_pallas
+
+    def spiral(h, w):
+        m = np.zeros((h, w), bool)
+        top, bot, lef, rig = 0, h - 1, 0, w - 1
+        while top <= bot and lef <= rig:
+            m[top, lef:rig + 1] = True
+            m[top:bot + 1, rig] = True
+            m[bot, lef:rig + 1] = True
+            m[top:bot + 1, lef] = True
+            top += 2
+            bot -= 2
+            lef += 2
+            rig -= 2
+        return m
+
+    serp = np.zeros((300, 140), bool)
+    serp[::2, :] = True
+    serp[1::4, -1] = True
+    serp[3::4, 0] = True
+    for m in [spiral(300, 300), np.zeros((150, 150), bool),
+              np.ones((150, 150), bool), serp]:
+        mj = jnp.asarray(m)
+        for conn in (8, 4):
+            ref = np.asarray(connected_components(mj, connectivity=conn))
+            got = np.asarray(cc_pallas(mj, connectivity=conn, interpret=True))
+            assert np.array_equal(ref, got), conn
+
+
+def test_rule_based_cc_impl_choices_agree(rng):
+    # the cc_impl knob must not change the class map
+    import cv2
+    from rs_image_segmentation_tpu.core.config import RuleBasedConfig
+    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
+
+    base = rng.standard_normal((120, 130)).astype(np.float32)
+    smooth = cv2.GaussianBlur(base, (21, 21), 5)
+    ndvi = jnp.asarray(np.clip(smooth * 2.0, -1, 1))
+    ndwi = jnp.asarray(np.clip(-smooth * 1.5 + 0.1, -1, 1))
+    mndwi = jnp.asarray(np.clip(-smooth * 1.8 + 0.05, -1, 1))
+    ndbi = jnp.asarray(np.clip(np.roll(smooth, 31, axis=1) * 1.7, -1, 1))
+    cfg = RuleBasedConfig()
+    a = np.asarray(rule_based_classify(ndvi, ndwi, mndwi, ndbi, cfg,
+                                       cc_impl="xla"))
+    b = np.asarray(rule_based_classify(ndvi, ndwi, mndwi, ndbi, cfg,
+                                       cc_impl="pallas"))
+    assert np.array_equal(a, b)
