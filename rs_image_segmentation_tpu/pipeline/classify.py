@@ -49,8 +49,8 @@ def rule_based_classify(ndvi: jnp.ndarray, ndwi: jnp.ndarray,
     """Full rule-based device graph (reference 3_classification.py:335-375,
     extract.py:397-505). Returns uint8 labels {0,1=veg,2=water,3=builtup,
     4=bareland}. ``cc_impl`` picks the connected-components backend
-    (ops.components.connected_components_best); pass ``"xla"`` when this
-    graph is vmapped."""
+    (ops.components.connected_components_best); the default "auto" is
+    right both per-scene and under vmap."""
     h, w = ndvi.shape
     area = h * w
 
