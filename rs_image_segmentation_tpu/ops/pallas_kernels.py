@@ -766,7 +766,18 @@ def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
 # — converges to the same fixed point as the global iteration; the
 # result is bit-identical to ops.components.connected_components.
 
-_CC_BH = 128  # strip rows: sublane-aligned, (128, W) i32 strips in VMEM
+_CC_BH = 128  # max strip rows: sublane-aligned, (bh, W) i32 strips in VMEM
+
+
+def _cc_strip_rows(wp: int) -> int:
+    """Strip height that keeps the kernel inside scoped VMEM. Mosaic's
+    live set measures ~8.5 i32 buffers of (bh, wp) (25.6 MB at 128 x
+    6016 vs the 16 MB scoped limit), so halve bh until ~<=11 MB; the
+    floor of 8 rows covers masks up to ~40k px wide."""
+    bh = _CC_BH
+    while bh > 8 and bh * wp * 4 * 8.5 > 11e6:
+        bh //= 2
+    return bh
 
 
 def _cc_seg_min_rows(v, fg, wp):
@@ -899,7 +910,7 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
     h, w = mask.shape
     fg_hw = mask != 0
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    bh = _CC_BH
+    bh = _cc_strip_rows(w + (-w) % _LANE)
     hp = h + (-h) % bh
     wp = w + (-w) % _LANE
     n_strips = hp // bh
