@@ -94,6 +94,24 @@ def main() -> None:
     t_cls_w = time.perf_counter() - t0
     assert out2.shape == (h, w) and set(np.unique(out2)) <= {1, 2, 3}
 
+    # model-free methods on the warm scene (the other two stage-3
+    # branches at 36 MP: rule-based is one device program over the full
+    # scene — the CC strip kernel is internally tiled)
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        kmeans_large_scene, rule_based_large_scene)
+    rule_np = np.asarray(rule_based_large_scene(
+        np.asarray(pre2).astype(np.uint8), cfg, hists=np.asarray(hists2)))
+    t0 = time.perf_counter()
+    out_r = rule_based_large_scene(np.asarray(pre2).astype(np.uint8), cfg,
+                                   hists=np.asarray(hists2))
+    t_rule = time.perf_counter() - t0
+    assert out_r.shape == (h, w) and np.array_equal(out_r, rule_np)
+    t0 = time.perf_counter()
+    out_k = kmeans_large_scene(np.asarray(pre2).astype(np.uint8),
+                               n_clusters=7, cfg=cfg, tile_rows=504)
+    t_km = time.perf_counter() - t0
+    assert out_k.shape == (h, w) and out_k.min() >= 1 and out_k.max() <= 7
+
     # spot-check: the first 600x600 block is the bundled scene unrolled
     print(json.dumps({
         "metric": "large-scene tiled classification",
@@ -107,6 +125,10 @@ def main() -> None:
         "warm_classify_s": round(t_cls_w, 2),
         "warm_e2e_mp_per_s": round(mp / (t_pre_w + t_cls_w), 3),
         "warm_vs_baseline": round(mp / (t_pre_w + t_cls_w) / 0.058, 1),
+        "rule_based_s": round(t_rule, 2),
+        "rule_based_mp_per_s": round(mp / t_rule, 3),
+        "kmeans_s": round(t_km, 2),
+        "kmeans_mp_per_s": round(mp / t_km, 3),
     }), flush=True)
     os._exit(0)
 

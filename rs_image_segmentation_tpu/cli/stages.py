@@ -68,6 +68,12 @@ def classify_large(argv=None) -> None:
                    help="raw (7-band uint8) or preprocessed scene GeoTIFF")
     p.add_argument("--raw", action="store_true",
                    help="scene is raw DNs: run the tiled preprocess first")
+    p.add_argument("--method", default="random_forest",
+                   choices=["random_forest", "kmeans", "rule_based"],
+                   help="classification method (the reference's three "
+                        "stage-3 branches, 3_classification.py:335-485)")
+    p.add_argument("--clusters", type=int, default=7,
+                   help="k for --method kmeans (reference default 7)")
     p.add_argument("--samples", default="data/samples.pkl")
     p.add_argument("--model", default=None,
                    help="joblib/npz forest to load instead of training")
@@ -83,7 +89,7 @@ def classify_large(argv=None) -> None:
     from rs_image_segmentation_tpu.models.forest import _gemm_for
     from rs_image_segmentation_tpu.pipeline.large_scene import (
         classify_large_scene, classify_large_scene_resumable,
-        preprocess_large)
+        kmeans_large_scene, preprocess_large, rule_based_large_scene)
 
     arr, info = read_tiff(args.scene)
     hists = None
@@ -95,6 +101,16 @@ def classify_large(argv=None) -> None:
                                       return_hist=True)
     else:
         arr = arr.astype(np.uint8)
+
+    if args.method == "kmeans":
+        result = kmeans_large_scene(arr, n_clusters=args.clusters,
+                                    tile_rows=args.tile_rows)
+        _write_large_output(args.output, result, info)
+        return
+    if args.method == "rule_based":
+        result = rule_based_large_scene(arr, hists=hists)
+        _write_large_output(args.output, result, info)
+        return
 
     if args.model and args.model.endswith(".npz"):
         from rs_image_segmentation_tpu.models.serialize import load_flat_forest
@@ -125,11 +141,19 @@ def classify_large(argv=None) -> None:
     else:
         result = classify_large_scene(arr, gf, tile_rows=args.tile_rows,
                                       hists=hists)
+    _write_large_output(args.output, result, info)
+
+
+def _write_large_output(path: str, result, info) -> None:
     import os
-    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
-    write_tiff(args.output, result.astype(np.uint8)[None], info.meta,
+
+    import numpy as np
+
+    from rs_image_segmentation_tpu.io.tiff import write_tiff
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_tiff(path, result.astype(np.uint8)[None], info.meta,
                compression="lzw", tiled=True)
-    print(f"large-scene classification {result.shape} -> {args.output}")
+    print(f"large-scene classification {result.shape} -> {path}")
 
 
 def stage4(argv=None) -> None:

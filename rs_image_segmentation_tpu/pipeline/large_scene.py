@@ -455,6 +455,69 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))
+def _rule_from_stretched(stretched_u8: jnp.ndarray, hist: jnp.ndarray,
+                         cfg: FeatureStageConfig, rule_cfg,
+                         cc_impl: str) -> jnp.ndarray:
+    """The turbo rule program from its preamble outputs onward — the same
+    device math as pipeline.turbo.rule_based_scenes_turbo:405-417, taking
+    the stretched scene + its histograms instead of raw DNs + LUT."""
+    from rs_image_segmentation_tpu.ops.indices import mndwi as mndwi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndbi as ndbi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndvi as ndvi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndwi as ndwi_fn
+    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        percentiles_from_counts)
+
+    c, h, w = stretched_u8.shape
+    vals = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32), (c, 256))
+    p = percentiles_from_counts(hist, vals,
+                                (cfg.normalize.lower_percentile,
+                                 cfg.normalize.upper_percentile), h * w)
+    lo, hi = p[0][:, None, None], p[1][:, None, None]
+    bands01 = ((jnp.clip(stretched_u8, lo, hi) - lo)
+               / (hi - lo + cfg.normalize.epsilon))
+    green, red, nir, swir1 = bands01[1], bands01[2], bands01[3], bands01[4]
+    return rule_based_classify(ndvi_fn(nir, red), ndwi_fn(green, nir),
+                               mndwi_fn(green, swir1), ndbi_fn(swir1, nir),
+                               rule_cfg, cc_impl=cc_impl)
+
+
+def rule_based_large_scene(arr: np.ndarray,
+                           cfg: FeatureStageConfig = FeatureStageConfig(),
+                           rule_cfg=None,
+                           hists: Optional[np.ndarray] = None,
+                           cc_impl: str = "auto") -> np.ndarray:
+    """Rule-based classification of an arbitrarily large PREPROCESSED
+    scene (stretched uint8 levels, stage-1 contract), with global
+    semantics (reference 3_classification.py:335-375).
+
+    Every global quantity the rules need is exact from per-band 256-bin
+    histograms (robust-normalize p2/p98), the four index planes are
+    pointwise, and the post-processing (ellipse morphology + min-area
+    connected components, both relative to the FULL image area) runs
+    on-device over the whole scene — the CC strip kernel is internally
+    tiled (VMEM-bounded strips), so unlike the forest path no host-side
+    tile loop is needed. Memory is device-bound at O(HW) int32, not
+    host-bound; a 6000x6000 mask labels in ~0.7 s on a v5e chip.
+
+    Bit-identical to ``rule_based_scenes_turbo`` on the same scene: the
+    stretched levels and histogram from ``preprocess_large`` match the
+    turbo preamble's exactly, and everything downstream is the same
+    device program. ``hists`` accepts the ``preprocess_large(...,
+    return_hist=True)`` byproduct to skip the histogram pass."""
+    from rs_image_segmentation_tpu.core.config import RuleBasedConfig
+
+    if hists is None:
+        hists = band_histograms_u8(arr)
+    rule_cfg = rule_cfg if rule_cfg is not None else RuleBasedConfig()
+    out = _rule_from_stretched(jnp.asarray(arr, jnp.uint8),
+                               jnp.asarray(hists.astype(np.int32)),
+                               cfg, rule_cfg, cc_impl)
+    return np.asarray(out)
+
+
 def _global_passes(arr: np.ndarray, cfg: FeatureStageConfig,
                    tile_rows: int, src=None,
                    hists: Optional[np.ndarray] = None) -> dict:

@@ -297,3 +297,30 @@ def test_preprocess_large_return_hist(rng):
     np.testing.assert_array_equal(out, ref)
     if hists is not None:   # TPU Pallas path
         np.testing.assert_array_equal(hists, band_histograms_u8(out))
+
+
+def test_rule_based_large_scene_matches_turbo(aa_scene):
+    """rule_based_large_scene consumes the stage-1 artifact (+ optional
+    histogram byproduct) and must be BIT-identical to the fused
+    rule_based_scenes_turbo program on the same scene — same percentile
+    math from the same histograms, same device graph downstream."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        rule_based_large_scene)
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_lut)
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        rule_based_scenes_turbo)
+    arr, _ = aa_scene
+    raw = np.ascontiguousarray(arr[:, :252, :252])
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    lut = jnp.asarray(build_stretch_lut(raw, np.asarray(cal.gains),
+                                        np.asarray(cal.biases)
+                                        ).astype(np.uint8))
+    ref = np.asarray(rule_based_scenes_turbo(jnp.asarray(raw), lut, cfg))
+
+    pre, hists = preprocess_large(raw, cal, return_hist=True)
+    got_hist = rule_based_large_scene(pre, cfg, hists=hists)
+    got_self = rule_based_large_scene(pre, cfg)   # recomputes histograms
+    assert np.array_equal(ref, got_hist)
+    assert np.array_equal(ref, got_self)

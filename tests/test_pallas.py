@@ -363,3 +363,23 @@ def test_rule_based_cc_impl_choices_agree(rng):
     b = np.asarray(rule_based_classify(ndvi, ndwi, mndwi, ndbi, cfg,
                                        cc_impl="pallas"))
     assert np.array_equal(a, b)
+
+
+def test_cc_pallas_wide_mask_adaptive_strips(rng):
+    # >4096-wide masks shrink the strip height to stay inside scoped
+    # VMEM (_cc_strip_rows); exercise the bh<128 path with several strips
+    from rs_image_segmentation_tpu.ops.components import connected_components
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (_cc_strip_rows,
+                                                              cc_pallas)
+    assert _cc_strip_rows(640) == 128
+    assert _cc_strip_rows(6016) < 128
+    w = 4224
+    assert _cc_strip_rows(w) < 128
+    m = np.zeros((130, w), bool)
+    m[::3, :] = True            # row stripes spanning the full width
+    m[:, ::97] = True           # columns stitching them into one component
+    m[60:70, 1000:3000] = False
+    mj = jnp.asarray(m)
+    ref = np.asarray(connected_components(mj))
+    got = np.asarray(cc_pallas(mj, interpret=True))
+    assert np.array_equal(ref, got)
