@@ -390,6 +390,37 @@ def _get_tile(src, ys: int, ye: int) -> jnp.ndarray:
     return jnp.asarray(np.ascontiguousarray(src[:, ys:ye, :]))
 
 
+def _fit_sample_plan(h: int, w: int, tile_rows: int, fit_fraction: float,
+                     max_fit_pixels: int) -> list:
+    """Per-tile sample counts for the KMeans fit subsample.
+
+    The total is snapped DOWN to a power of two so the fit program's HLO
+    (``kmeans_fit_predict`` at (N, F)) is keyed by a small fixed set of
+    shapes instead of the scene-size continuum — on this environment a
+    fit-shape persistent-cache miss is a multi-minute remote compile, so
+    without the snap every new scene size paid one. Counts sum to the
+    snapped total exactly and never exceed a tile's pixel count."""
+    n_fit = min(max_fit_pixels, int(h * w * fit_fraction) or h * w, h * w)
+    if n_fit >= 2:
+        n_fit = 1 << (n_fit.bit_length() - 1)
+    tile_px = [min(tile_rows, h - y0) * w for y0 in range(0, h, tile_rows)]
+    counts = []
+    remaining = n_fit
+    for i, npx in enumerate(tile_px):
+        want = -(-remaining // (len(tile_px) - i))  # ceil of an even share
+        take = min(npx, want, remaining)
+        counts.append(take)
+        remaining -= take
+    for i, npx in enumerate(tile_px):  # capacity-starved early tiles
+        if not remaining:
+            break
+        add = min(npx - counts[i], remaining)
+        counts[i] += add
+        remaining -= add
+    assert remaining == 0, (h, w, tile_rows, n_fit)
+    return counts
+
+
 def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
                        cfg: FeatureStageConfig = FeatureStageConfig(),
                        tile_rows: int = 504, seed: int = 42,
@@ -397,10 +428,11 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
                        max_fit_pixels: int = 2_000_000) -> np.ndarray:
     """Unsupervised classification of an arbitrarily large preprocessed
     scene: global MinMax bounds and centroids are fit on a deterministic
-    pixel subsample (standard practice for out-of-core KMeans), then every
-    tile is assigned against the fixed centroids. Labels are 1-based like
-    stage 3 (reference 3_classification.py:393). Memory stays bounded:
-    tiles are recomputed in the assignment pass rather than cached."""
+    systematic pixel subsample (every ~N/k-th pixel per tile — standard
+    practice for out-of-core KMeans), then every tile is assigned against
+    the fixed centroids. Labels are 1-based like stage 3 (reference
+    3_classification.py:393). Memory stays bounded: tiles are recomputed
+    in the assignment pass rather than cached."""
     from rs_image_segmentation_tpu.models.kmeans import (kmeans_fit_predict,
                                                          lloyd_step)
 
@@ -416,43 +448,53 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
             tile = _get_tile(src, ys, ye)
             yield y0, rows, stack_tile(tile, y0, y0 - ys, rows)
 
-    # pass 1: global MinMax bounds + deterministic subsample
-    rng = np.random.default_rng(seed)
-    n_fit = min(max_fit_pixels, int(h * w * fit_fraction) or h * w)
-    per_tile = max(1, n_fit // max(1, -(-h // tile_rows)))
-    mins = None
-    maxs = None
-    samples = []
-    for y0, rows, stack in tiles():
-        flat = np.asarray(stack).reshape(stack.shape[0], -1).T
-        t_min = flat.min(axis=0)
-        t_max = flat.max(axis=0)
-        mins = t_min if mins is None else np.minimum(mins, t_min)
-        maxs = t_max if maxs is None else np.maximum(maxs, t_max)
-        idx = rng.choice(flat.shape[0], size=min(per_tile, flat.shape[0]),
-                         replace=False)
-        samples.append(flat[idx])
+    # pass 1: global MinMax bounds + deterministic subsample, all ON
+    # DEVICE. History of this pass at 36 MP: fetching each tile's full
+    # stack to host for min/max was ~2.7 GB of D2H (the path's original
+    # 96 s); a random device gather of the sample columns was ~1.4 s
+    # PER TILE (166k-column gather from (19, 3M)). A strided slice is
+    # a pure memory op, and systematic every-Nth-pixel sampling is a
+    # textbook subsample for out-of-core KMeans fitting (spatially
+    # auto-correlated imagery loses nothing to the stride).
+    counts = _fit_sample_plan(h, w, tile_rows, fit_fraction, max_fit_pixels)
 
-    rngv = maxs - mins
-    rngv[rngv <= 0] = 1.0
-    fit = (np.concatenate(samples) - mins) / rngv
-    _, state = kmeans_fit_predict(jnp.asarray(fit.astype(np.float32)),
-                                  n_clusters, seed=seed)
+    @functools.partial(jax.jit, static_argnames=("stride", "count"))
+    def tile_stats(stack, *, stride, count):
+        flat = jnp.reshape(stack, (stack.shape[0], -1))          # (F, N)
+        smp = jax.lax.slice_in_dim(flat, 0, count * stride, stride,
+                                   axis=1).T
+        return flat.min(axis=1), flat.max(axis=1), smp
+
+    acc = []
+    for (y0, rows, stack), count in zip(tiles(), counts):
+        n_px = rows * w
+        acc.append(tile_stats(stack, stride=max(1, n_px // max(1, count)),
+                              count=count))
+    # combine, normalize, and FIT on device — round-tripping the 2M x 19
+    # f32 subsample through the host (D2H + re-upload for the fit) was
+    # ~300 MB of tunnel traffic, most of the measured 8.6 s pass-1 tail
+    # at 36 MP
+    mins_d = jnp.min(jnp.stack([a[0] for a in acc]), axis=0)
+    maxs_d = jnp.max(jnp.stack([a[1] for a in acc]), axis=0)
+    rng_d = jnp.where(maxs_d - mins_d <= 0, 1.0, maxs_d - mins_d)
+    smp = jnp.concatenate([a[2] for a in acc], axis=0)
+    fit = ((smp - mins_d) / rng_d).astype(jnp.float32)
+    _, state = kmeans_fit_predict(fit, n_clusters, seed=seed)
     cents = state.centroids
-    mins_d = jnp.asarray(mins.astype(np.float32))
-    rng_d = jnp.asarray(rngv.astype(np.float32))
 
     @jax.jit
-    def assign(flat):
+    def assign(stack):
+        flat = jnp.reshape(stack, (stack.shape[0], -1)).T
         xs = (flat - mins_d) / rng_d
         _, labels, _ = lloyd_step(xs, cents)
-        return labels
+        # 1-based like stage 3; uint8 on the wire (k <= 255 always in
+        # practice — reference default 7) quarters the label D2H
+        return (labels + 1).astype(jnp.uint8 if n_clusters < 255
+                                   else jnp.int32)
 
-    out = np.zeros((h, w), np.int32)
-    for y0, rows, stack in tiles():
-        flat = jnp.reshape(stack, (stack.shape[0], -1)).T
-        out[y0:y0 + rows] = np.asarray(assign(flat)).reshape(rows, w) + 1
-    return out
+    parts = [assign(stack).reshape(rows, w)
+             for _, rows, stack in tiles()]
+    return np.asarray(jnp.concatenate(parts, axis=0), np.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))

@@ -147,6 +147,29 @@ def test_sharded_spatial_classify_matches_monolithic(rng, aa_scene):
     assert agreement > 0.999, agreement
 
 
+def test_fit_sample_plan_scene_independent_totals():
+    """The KMeans fit subsample total snaps to powers of two, so the fit
+    program's HLO is shared across scene sizes (a fit-shape cache miss is
+    a multi-minute remote compile on this environment). Counts must sum
+    to the snapped total exactly and respect per-tile capacity."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        _fit_sample_plan)
+    cases = [(600, 600, 504), (601, 600, 504), (6000, 6000, 504),
+             (5000, 7000, 504), (126, 126, 63), (10, 10, 63), (1, 1, 504)]
+    totals = {}
+    for h, w, tr in cases:
+        counts = _fit_sample_plan(h, w, tr, 0.1, 2_000_000)
+        tile_px = [min(tr, h - y0) * w for y0 in range(0, h, tr)]
+        assert len(counts) == len(tile_px)
+        assert all(0 <= c <= npx for c, npx in zip(counts, tile_px))
+        total = sum(counts)
+        assert total >= 1 and (total & (total - 1)) == 0 or total == 1
+        totals[(h, w)] = total
+    # two different 35-42 MP scenes share one fit shape (both hit the
+    # snapped 2M cap = 1,048,576)
+    assert totals[(6000, 6000)] == totals[(5000, 7000)] == 1 << 20
+
+
 def test_kmeans_large_scene(rng, aa_scene):
     from rs_image_segmentation_tpu.pipeline.large_scene import (
         kmeans_large_scene)
