@@ -185,6 +185,28 @@ def test_kmeans_large_scene(rng, aa_scene):
     assert labels.min() >= 1 and labels.max() <= 5
     assert len(np.unique(labels)) >= 3  # real structure, not one blob
 
+    # the subsample fit must agree with a FULL-pixel fit up to cluster
+    # relabeling: majority-map subsample clusters onto full-fit clusters
+    # (the reference's own evaluation absorbs kmeans label permutation
+    # the same way, 4_evaluate.py:97-128) and require high agreement
+    from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        _make_stack_fn)
+    stack_fn, _ = _make_stack_fn(pre, FeatureStageConfig(), 126)
+    full = np.asarray(stack_fn(jnp.asarray(pre), 0, 0, 126))
+    flat = full.reshape(full.shape[0], -1).T
+    mins, maxs = flat.min(axis=0), flat.max(axis=0)
+    rngv = np.where(maxs - mins <= 0, 1.0, maxs - mins)
+    ref_labels, _ = kmeans_fit_predict(
+        jnp.asarray(((flat - mins) / rngv).astype(np.float32)), 5, seed=42)
+    ref_labels = np.asarray(ref_labels).reshape(126, 126) + 1
+    mapped = np.zeros_like(labels)
+    for k in np.unique(labels):
+        vals, cnts = np.unique(ref_labels[labels == k], return_counts=True)
+        mapped[labels == k] = vals[np.argmax(cnts)]
+    agreement = (mapped == ref_labels).mean()
+    assert agreement > 0.80, agreement
+
 
 def test_resumable_classify_survives_crash(rng, aa_scene, tmp_path):
     """Fault-inject after 2 tiles; the resumed run must be bit-identical to
