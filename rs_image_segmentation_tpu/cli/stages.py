@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def stage1(argv=None) -> None:
@@ -102,6 +103,10 @@ def classify_large(argv=None) -> None:
     else:
         arr = arr.astype(np.uint8)
 
+    if args.method in ("kmeans", "rule_based") and args.checkpoint_dir:
+        print("warning: --checkpoint-dir applies only to "
+              "--method random_forest (per-tile resume); ignored",
+              file=sys.stderr)
     if args.method == "kmeans":
         result = kmeans_large_scene(arr, n_clusters=args.clusters,
                                     tile_rows=args.tile_rows)
