@@ -156,6 +156,88 @@ def remove_small_components(mask: jnp.ndarray, min_area: int,
     return (mask.astype(bool) & keep).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("connectivity", "bins", "impl"))
+def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
+                                  connectivity: int = 8, bins: int = 32768,
+                                  impl: str = "auto") -> jnp.ndarray:
+    """Batched :func:`remove_small_components` over (M, H, W) masks with
+    per-mask ``min_areas`` (M,), exact vs the per-mask path.
+
+    The TPU route is scatter- and gather-free (XLA's TPU scatter-add
+    measured 92 ms and its gather 63 ms for 24 masks at 600^2 — both
+    effectively serialized):
+
+      1. all masks stack into ONE tall image with 1-row background
+         separators, so one gated Pallas propagation serves the batch;
+      2. per-pixel component ids come from a single min-propagation of
+         the ROW-RUN-RANK cumsum (run-start flags are elementwise; their
+         inclusive cumsum is nondecreasing over the linear order, so its
+         per-component min is the rank of the component's FIRST run —
+         constant on the component, distinct across components, and
+         near-dense within each mask's run range);
+      3. areas and keep bits then come from two exact one-hot MXU
+         contractions over a (hi, lo) decomposition of the mask-relative
+         id (ops.pallas_kernels.hist_dense_pallas / keep_lut_pallas).
+
+    ``bins`` caps ids per mask: components whose first-run rank within
+    their mask exceeds bins-1 are dropped as if too small (the bundled
+    scene's noisiest mask has ~15.4k runs vs the default 32768).
+    Replaces reference extract.py:320-330 at stage-3 batch shapes."""
+    m, h, w = masks.shape
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return jax.vmap(
+            lambda mk, ar: (mk.astype(bool)
+                            & (component_areas_per_pixel(
+                                mk, connectivity) >= ar)).astype(jnp.uint8)
+        )(masks, jnp.asarray(min_areas))
+
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        ccmin_prop_pallas, hist_dense_pallas, keep_lut_pallas)
+
+    interpret = jax.default_backend() != "tpu"
+    hs = h + 1                                   # 1-row bg separator
+    tall = jnp.pad(masks, ((0, 0), (0, 1), (0, 0))).reshape(m * hs, w)
+    fg = tall != 0
+    # row-run starts: fg with background (or row edge) on the left
+    left_fg = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
+    starts = fg & ~left_fg
+    r0 = jnp.cumsum(starts.reshape(-1).astype(jnp.int32)).reshape(m * hs, w)
+    ids_tall = ccmin_prop_pallas(tall, r0, connectivity=connectivity,
+                                 interpret=interpret)
+    # mask-relative ids: subtract the exclusive run count before each
+    # mask's region (strided slice, no gather)
+    base = (r0 - starts.astype(jnp.int32)).reshape(m, hs, w)[:, 0, 0]
+    rel = ids_tall.reshape(m, hs, w)[:, :h, :] - 1 - base[:, None, None]
+    rel = jnp.where(masks != 0, rel, bins)       # bg (and overflow) drop out
+    npix = h * w
+    k = 4096
+    pad = (-npix) % k
+    rel_rows = jnp.pad(rel.reshape(m, npix), ((0, 0), (0, pad)),
+                       constant_values=bins).reshape(m, -1, k)
+    counts = hist_dense_pallas(rel_rows, bins_hi=bins // 128,
+                               interpret=interpret)  # (M, bins//128, 128)
+    keepmat_t = (counts >= jnp.asarray(min_areas, jnp.float32
+                                       )[:, None, None]).astype(jnp.float32)
+    keepmat_t = jnp.swapaxes(keepmat_t, 1, 2)    # (M, 128, bins//128)
+    keep = keep_lut_pallas(rel_rows, keepmat_t, interpret=interpret)
+    keep = keep.reshape(m, npix + pad)[:, :npix].reshape(m, h, w)
+    return (masks.astype(bool) & (keep != 0)).astype(jnp.uint8)
+
+
+def component_areas_per_pixel(mask: jnp.ndarray, connectivity: int = 8
+                              ) -> jnp.ndarray:
+    """Area of each pixel's component (0 at background) via the XLA
+    labels + scatter/gather path — the off-TPU reference implementation
+    for :func:`remove_small_components_batch`."""
+    labels = connected_components(mask, connectivity)
+    counts = component_areas(labels)
+    flat = labels.reshape(-1)
+    area = jnp.where(flat >= 0, counts[jnp.where(flat >= 0, flat, 0)], 0)
+    return area.reshape(mask.shape)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 def fill_holes(mask: jnp.ndarray, max_iters: int = 4096) -> jnp.ndarray:
     """scipy.ndimage.binary_fill_holes equivalent: holes are background

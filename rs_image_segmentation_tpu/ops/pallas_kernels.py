@@ -766,158 +766,187 @@ def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
 # — converges to the same fixed point as the global iteration; the
 # result is bit-identical to ops.components.connected_components.
 
-_CC_BH = 128  # max strip rows: sublane-aligned, (bh, W) i32 strips in VMEM
+_CC_BH = 256  # max strip rows: sublane-aligned, (bh, W) i32 strips in VMEM
 
 
 def _cc_strip_rows(wp: int) -> int:
-    """Strip height that keeps the kernel inside scoped VMEM. Mosaic's
-    live set measures ~8.5 i32 buffers of (bh, wp) (25.6 MB at 128 x
-    6016 vs the 16 MB scoped limit), so halve bh until ~<=11 MB; the
-    floor of 8 rows covers masks up to ~40k px wide."""
+    """Strip height that keeps the kernel inside scoped VMEM: ~8.5 live
+    i32 buffers of (bh, wp) plus ~36 cached int8 scan masks (70 bytes/px
+    total), halved until <=14 MB; the floor of 8 rows covers masks up to
+    ~25k px wide. 256 beats 128 on multi-strip images (fewer outer
+    passes: 30.1 -> 25.0 ms on the 24-mask tall stack) and is neutral on
+    single 600-px masks."""
     bh = _CC_BH
-    while bh > 8 and bh * wp * 4 * 8.5 > 11e6:
+    while bh > 8 and bh * wp * 70 > 14e6:
         bh //= 2
     return bh
 
 
-def _cc_seg_min_rows(v, fg, wp):
-    """Forward+backward segmented min along axis 1 (lanes) via doubling:
-    labels cross a whole contiguous fg run in log2(wp) steps. Reset masks
-    ride as int32 — Mosaic cannot concatenate i1 vregs."""
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    bh = v.shape[0]
-    rst0 = jnp.logical_not(fg).astype(jnp.int32)
+def _cc_shift(x, d: int, axis: int, rev: bool, fill):
+    """Shift ``x`` by ``d`` along ``axis`` (toward lower index when
+    ``rev``), filling vacated positions with ``fill``."""
+    pad_shape = (x.shape[:1] + (d,)) if axis == 1 else ((d,) + x.shape[1:])
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    if axis == 1:
+        return (jnp.concatenate([x[:, d:], pad], axis=1) if rev
+                else jnp.concatenate([pad, x[:, :-d]], axis=1))
+    return (jnp.concatenate([x[d:], pad], axis=0) if rev
+            else jnp.concatenate([pad, x[:-d]], axis=0))
 
-    def scan(v0, rev):
-        v_, r_ = v0, rst0
+
+def _cc_reach_masks(fg, axis: int, limit: int, rev: bool):
+    """Per-doubling-distance 'blocked' masks for one scan direction:
+    fwd blk_k[p] = 1 iff a run break (background) lies in (p - 2^k, p];
+    bwd blk_k[p] = 1 iff one lies in [p, p + 2^k). Either includes the
+    position itself, so background sentinels never update. These depend
+    only on fg, which never changes, so each strip activation computes
+    them ONCE and every inner round reuses them (the doubling step
+    shrinks from 6 vector ops to ~3). int8 — Mosaic packs 4x more lanes
+    per vreg than i32."""
+    blk = jnp.logical_not(fg).astype(jnp.int8)
+    out = []
+    d = 1
+    while d < limit:
+        out.append(blk)
+        # bitwise OR: Mosaic has no maxsi for i8 vectors
+        blk = blk | _cc_shift(blk, d, axis, rev, 0)
+        d *= 2
+    return out
+
+
+def _cc_seg_min(v, fg, axis: int, limit: int, masks_fwd, masks_bwd):
+    """Forward+backward segmented min along ``axis`` via doubling with
+    precomputed blocked-masks: values cross a whole contiguous fg run in
+    log2(limit) steps."""
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def scan(v0, rev, masks):
+        v_ = v0
         d = 1
-        while d < wp:
-            if rev:
-                v_sh = jnp.concatenate(
-                    [v_[:, d:], jnp.full((bh, d), big, jnp.int32)], axis=1)
-                r_sh = jnp.concatenate(
-                    [r_[:, d:], jnp.zeros((bh, d), jnp.int32)], axis=1)
-            else:
-                v_sh = jnp.concatenate(
-                    [jnp.full((bh, d), big, jnp.int32), v_[:, :-d]], axis=1)
-                r_sh = jnp.concatenate(
-                    [jnp.zeros((bh, d), jnp.int32), r_[:, :-d]], axis=1)
-            v_ = jnp.where(r_ != 0, v_, jnp.minimum(v_, v_sh))
-            r_ = jnp.maximum(r_, r_sh)
+        k = 0
+        while d < limit:
+            v_sh = _cc_shift(v_, d, axis, rev, big)
+            v_ = jnp.where(masks[k] != 0, v_, jnp.minimum(v_, v_sh))
             d *= 2
+            k += 1
         return v_
 
-    return jnp.where(fg, jnp.minimum(scan(v, False), scan(v, True)), big)
+    return jnp.where(fg, jnp.minimum(scan(v, False, masks_fwd),
+                                     scan(v, True, masks_bwd)), big)
 
 
-def _cc_seg_min_cols(v, fg, bh):
-    """Segmented min along axis 0 (sublanes), same doubling scheme."""
+def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
+                     fg_ref, lab_ref, out_ref, chg_ref):
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    wp = v.shape[1]
-    rst0 = jnp.logical_not(fg).astype(jnp.int32)
-
-    def scan(v0, rev):
-        v_, r_ = v0, rst0
-        d = 1
-        while d < bh:
-            if rev:
-                v_sh = jnp.concatenate(
-                    [v_[d:], jnp.full((d, wp), big, jnp.int32)], axis=0)
-                r_sh = jnp.concatenate(
-                    [r_[d:], jnp.zeros((d, wp), jnp.int32)], axis=0)
-            else:
-                v_sh = jnp.concatenate(
-                    [jnp.full((d, wp), big, jnp.int32), v_[:-d]], axis=0)
-                r_sh = jnp.concatenate(
-                    [jnp.zeros((d, wp), jnp.int32), r_[:-d]], axis=0)
-            v_ = jnp.where(r_ != 0, v_, jnp.minimum(v_, v_sh))
-            r_ = jnp.maximum(r_, r_sh)
-            d *= 2
-        return v_
-
-    return jnp.where(fg, jnp.minimum(scan(v, False), scan(v, True)), big)
-
-
-def _cc_strip_kernel(n_inner: int, conn: int, top_ref, bot_ref, fg_ref,
-                     lab_ref, out_ref, chg_ref):
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    fg = fg_ref[...] != 0                                  # (BH, WP)
-    lab0 = jnp.where(fg, lab_ref[...], big)
-    bh, wp = lab0.shape
-    # halo arrays ride whole ((n_strips, WP) is KB-scale; a (1, WP) block
-    # would violate the TPU block-shape rules) — pick this strip's row
+    # halo/activity arrays ride whole ((n_strips, WP) is KB-scale; a
+    # (1, WP) block would violate the TPU block-shape rules) — pick this
+    # strip's row
     i = pl.program_id(0)
-    top = top_ref[pl.ds(i, 1), :][0]                       # (WP,)
-    bot = bot_ref[pl.ds(i, 1), :][0]
+    chg_ref[i, 0] = 0
 
-    def shift_r(x, fill):
-        return jnp.concatenate(
-            [jnp.full((bh, 1), fill, x.dtype), x[:, :-1]], axis=1)
+    @pl.when(act_ref[i, 0] == 0)
+    def _skip():
+        # inactive strip: labels AND consumed halos unchanged since it
+        # last locally converged — rerunning would be an exact no-op
+        out_ref[...] = lab_ref[...]
 
-    def shift_l(x, fill):
-        return jnp.concatenate(
-            [x[:, 1:], jnp.full((bh, 1), fill, x.dtype)], axis=1)
+    @pl.when(act_ref[i, 0] != 0)
+    def _run():
+        fg = fg_ref[...] != 0                              # (BH, WP)
+        lab0 = jnp.where(fg, lab_ref[...], big)
+        bh, wp = lab0.shape
+        top = top_ref[pl.ds(i, 1), :]                      # (1, WP)
+        bot = bot_ref[pl.ds(i, 1), :]
 
-    def one_round(lab):
-        up = jnp.concatenate([top[None, :], lab[:-1]], axis=0)
-        dn = jnp.concatenate([lab[1:], bot[None, :]], axis=0)
-        nm = jnp.minimum(jnp.minimum(lab, up), dn)
-        nm = jnp.minimum(nm, jnp.minimum(shift_r(lab, big),
-                                         shift_l(lab, big)))
+        def shift_r(x, fill):
+            return jnp.concatenate(
+                [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+                axis=-1)
+
+        def shift_l(x, fill):
+            return jnp.concatenate(
+                [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)],
+                axis=-1)
+
+        # halos are FROZEN during the inner loop, so their full
+        # contribution (vertical + diagonal for 8-conn) is injected into
+        # the boundary rows ONCE; min-propagation carries it from there
         if conn == 8:
-            nm = jnp.minimum(nm, jnp.minimum(shift_r(up, big),
-                                             shift_l(up, big)))
-            nm = jnp.minimum(nm, jnp.minimum(shift_r(dn, big),
-                                             shift_l(dn, big)))
-        nm = jnp.where(fg, nm, big)
-        nm = _cc_seg_min_rows(nm, fg, wp)
-        return _cc_seg_min_cols(nm, fg, bh)
+            top_c = jnp.minimum(top, jnp.minimum(shift_r(top, big),
+                                                 shift_l(top, big)))
+            bot_c = jnp.minimum(bot, jnp.minimum(shift_r(bot, big),
+                                                 shift_l(bot, big)))
+        else:
+            top_c, bot_c = top, bot
+        lab0 = jnp.where(
+            fg,
+            jnp.concatenate([jnp.minimum(lab0[:1], top_c), lab0[1:-1],
+                             jnp.minimum(lab0[-1:], bot_c)], axis=0),
+            big)
 
-    def body(state):
-        lab, _, it = state
-        new = one_round(lab)
-        return new, jnp.any(new != lab), it + 1
+        # scan blocked-masks depend only on fg: build once per activation
+        rows_f = _cc_reach_masks(fg, 1, wp, False)
+        rows_b = _cc_reach_masks(fg, 1, wp, True)
+        cols_f = _cc_reach_masks(fg, 0, bh, False)
+        cols_b = _cc_reach_masks(fg, 0, bh, True)
 
-    lab, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < n_inner), body,
-        (lab0, jnp.asarray(True), 0))
-    out_ref[...] = lab
-    # chg rides whole in SMEM (a (1, 1) block would violate the TPU
-    # block-shape rules); each strip writes its own row
-    chg_ref[i, 0] = jnp.any(lab != lab0).astype(jnp.int32)
+        def one_round(lab):
+            # within-strip vertical/horizontal adjacency is subsumed by
+            # the segmented scans (fg runs); only the four diagonals
+            # need explicit mins for 8-conn
+            if conn == 8:
+                up = jnp.concatenate(
+                    [jnp.full((1, wp), big, jnp.int32), lab[:-1]], axis=0)
+                dn = jnp.concatenate(
+                    [lab[1:], jnp.full((1, wp), big, jnp.int32)], axis=0)
+                diag = jnp.minimum(jnp.minimum(shift_r(up, big),
+                                               shift_l(up, big)),
+                                   jnp.minimum(shift_r(dn, big),
+                                               shift_l(dn, big)))
+                nm = jnp.where(fg, jnp.minimum(lab, diag), big)
+            else:
+                nm = lab
+            nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
+            return _cc_seg_min(nm, fg, 0, bh, cols_f, cols_b)
+
+        def body(state):
+            lab, _, it = state
+            new = one_round(lab)
+            return new, jnp.any(new != lab), it + 1
+
+        lab, changing, _ = jax.lax.while_loop(
+            lambda s: s[1] & (s[2] < n_inner), body,
+            (lab0, jnp.asarray(True), 0))
+        out_ref[...] = lab
+        # chg = "still changing at inner exit" (hit the n_inner bound):
+        # such a strip must rerun even with identical halos
+        chg_ref[i, 0] = changing.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity", "max_outer",
-                                             "n_inner", "interpret"))
-def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
-              max_outer: int = 128, n_inner: int = 16,
-              interpret: bool = False) -> jnp.ndarray:
-    """Connected-component labels of a binary mask, bit-identical to
-    ops.components.connected_components (background -1, each component
-    labelled with the minimum linear index of its pixels).
+def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
+               connectivity: int, max_outer: int, n_inner: int,
+               jump: bool, interpret: bool) -> jnp.ndarray:
+    """Shared driver: min-propagate ``lab`` over fg-connected regions.
 
-    One outer pass = every (128, W) strip iterated to local convergence
-    in VMEM with frozen one-row halos; outer passes repeat until no
-    strip changes, so labels cross strip boundaries one halo exchange
-    per pass. Before each pass the HALO ROWS (only — 2*n_strips rows,
-    not the image) are pointer-jumped one hop, which teleports
-    already-converged chains across distant strips; a whole-image jump
-    was measured at ~95 % of the kernel's runtime on the bundled rule
-    masks (a 360k-element 2-D gather per pass: veg 22.0 -> 1.6 ms,
-    built 17.9 -> 1.9 ms with the halo-only jump, labels identical —
-    min-propagation is monotone, so jumping fewer elements only changes
-    the schedule, never the fixed point)."""
-    h, w = mask.shape
-    fg_hw = mask != 0
+    ``fg``/``lab``: padded (hp, wp) with hp a multiple of the strip
+    height and lab == int32 max at background. ``jump=True`` enables the
+    halo pointer-jump (valid ONLY when the propagated values are linear
+    indices in an original (h, w_orig) coordinate system).
+
+    Activity gating (round 4): a strip reruns only while it is still
+    changing at its inner-iteration bound OR a current halo row offers a
+    STRICTLY SMALLER label than the strip's adjacent boundary pixel
+    (including diagonal offsets for 8-conn). Skipping is exact: halo
+    values are the only entry points of outside information, labels only
+    ever decrease, and a halo candidate >= the boundary label cannot
+    change anything — so "no strip still changing and no boundary
+    improvement available" IS the global fixed point. The criterion is
+    memoryless (a function of the current labels only), so no
+    consumed-halo bookkeeping is needed."""
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-    bh = _cc_strip_rows(w + (-w) % _LANE)
-    hp = h + (-h) % bh
-    wp = w + (-w) % _LANE
+    hp, wp = lab.shape
+    bh = _cc_strip_rows(wp)
     n_strips = hp // bh
-    fg = jnp.pad(fg_hw, ((0, hp - h), (0, wp - w)))
-    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    lab = jnp.where(fg, row * w + col, big)
     fg_u8 = fg.astype(jnp.uint8)
 
     grid = (n_strips,)
@@ -927,6 +956,8 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
                    jax.ShapeDtypeStruct((n_strips, 1), jnp.int32)),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((n_strips, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),     # active flags
             pl.BlockSpec((n_strips, wp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),     # all top halo rows
             pl.BlockSpec((n_strips, wp), lambda i: (0, 0),
@@ -955,26 +986,217 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
 
     def jump_rows(rows, lab):
         # pointer-jump the halo rows one hop through the full label
-        # image (labels are linear indices in ORIGINAL (h, w)
+        # image (labels are linear indices in ORIGINAL (h, w_orig)
         # coordinates; map back to array positions to index). Only
         # 2*n_strips rows gather, not the image.
         ok = rows != big
-        r = jnp.where(ok, rows // w, 0)
-        c = jnp.where(ok, rows % w, 0)
+        r = jnp.where(ok, rows // w_orig, 0)
+        c = jnp.where(ok, rows % w_orig, 0)
         return jnp.where(ok, jnp.minimum(rows, lab[r, c]), big)
 
-    def body(state):
-        lab, _, it = state
-        top, bot = halos(lab)
-        new, chg = call(jump_rows(top, lab), jump_rows(bot, lab),
-                        fg_u8, lab)
-        return new, jnp.any(chg != 0), it + 1
+    def shift_r1(x):
+        return jnp.concatenate(
+            [jnp.full((n_strips, 1), big, jnp.int32), x[:, :-1]], axis=1)
 
-    # first pass always runs; afterwards keep going only while a strip
-    # still changed (the halo jump alone cannot create new minima — it
-    # only shortcuts chains the strips already discovered)
+    def shift_l1(x):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((n_strips, 1), big, jnp.int32)], axis=1)
+
+    def next_active(new, still):
+        # strip i must rerun iff it hit its inner bound while changing,
+        # or a halo candidate (with diagonal offsets for 8-conn) is
+        # strictly smaller than the adjacent boundary label
+        lab3 = new.reshape(n_strips, bh, wp)
+        first, last = lab3[:, 0], lab3[:, -1]
+        top_n, bot_n = halos(new)
+        if connectivity == 8:
+            top_n = jnp.minimum(top_n, jnp.minimum(shift_r1(top_n),
+                                                   shift_l1(top_n)))
+            bot_n = jnp.minimum(bot_n, jnp.minimum(shift_r1(bot_n),
+                                                   shift_l1(bot_n)))
+        trig = (jnp.any((first != big) & (top_n < first), axis=1)
+                | jnp.any((last != big) & (bot_n < last), axis=1))
+        return ((still[:, 0] != 0) | trig).astype(jnp.int32)
+
+    def body(state):
+        lab, act, it = state
+        top_raw, bot_raw = halos(lab)
+        if jump:
+            top_f = jump_rows(top_raw, lab)
+            bot_f = jump_rows(bot_raw, lab)
+        else:
+            top_f, bot_f = top_raw, bot_raw
+        new, still = call(act[:, None], top_f, bot_f, fg_u8, lab)
+        return new, next_active(new, still), it + 1
+
+    state = (lab, jnp.ones((n_strips,), jnp.int32), 0)  # all active first
     lab, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < max_outer), body,
-        (lab, jnp.asarray(True), 0))
-    lab = lab[:h, :w]
-    return jnp.where(fg_hw, lab, -1)
+        lambda s: jnp.any(s[1] != 0) & (s[2] < max_outer), body, state)
+    return lab
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_outer",
+                                             "n_inner", "interpret"))
+def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
+              max_outer: int = 128, n_inner: int = 16,
+              interpret: bool = False) -> jnp.ndarray:
+    """Connected-component labels of a binary mask, bit-identical to
+    ops.components.connected_components (background -1, each component
+    labelled with the minimum linear index of its pixels).
+
+    One outer pass = every ACTIVE (128, W) strip iterated to local
+    convergence in VMEM with frozen one-row halos; outer passes repeat
+    until no strip is active (see _ccmin_run's gating note), so labels
+    cross strip boundaries one halo exchange per pass. Before each pass
+    the HALO ROWS (only — 2*n_strips rows, not the image) are
+    pointer-jumped one hop, which teleports already-converged chains
+    across distant strips; a whole-image jump was measured at ~95 % of
+    the kernel's runtime on the bundled rule masks (a 360k-element 2-D
+    gather per pass: veg 22.0 -> 1.6 ms, built 17.9 -> 1.9 ms with the
+    halo-only jump, labels identical — min-propagation is monotone, so
+    jumping fewer elements only changes the schedule, never the fixed
+    point)."""
+    h, w = mask.shape
+    fg_hw = mask != 0
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    bh = _cc_strip_rows(w + (-w) % _LANE)
+    hp = h + (-h) % bh
+    wp = w + (-w) % _LANE
+    fg = jnp.pad(fg_hw, ((0, hp - h), (0, wp - w)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+    lab = jnp.where(fg, row * w + col, big)
+    lab = _ccmin_run(fg, lab, w, connectivity, max_outer, n_inner,
+                     jump=True, interpret=interpret)
+    return jnp.where(fg_hw, lab[:h, :w], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_outer",
+                                             "n_inner", "interpret"))
+def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
+                      connectivity: int = 8, max_outer: int = 128,
+                      n_inner: int = 16,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Per-component minimum of ``values`` over the connected components
+    of ``mask``: every foreground pixel gets min(values over its
+    component); background -1. Same strip kernel as :func:`cc_pallas`
+    (values need not be positions, so no halo pointer-jump — convergence
+    follows the component geometry exactly like the label pass).
+
+    Used by ops.components.remove_small_components_batch to spread each
+    component's dense id (the root-flag cumsum evaluated at the root,
+    which is the component minimum of that cumsum because the cumsum is
+    nondecreasing over linear index and the root is the component's
+    minimum linear index)."""
+    h, w = mask.shape
+    fg_hw = mask != 0
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    bh = _cc_strip_rows(w + (-w) % _LANE)
+    hp = h + (-h) % bh
+    wp = w + (-w) % _LANE
+    fg = jnp.pad(fg_hw, ((0, hp - h), (0, wp - w)))
+    v = jnp.pad(values.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+    v = jnp.where(fg, v, big)
+    v = _ccmin_run(fg, v, w, connectivity, max_outer, n_inner,
+                   jump=False, interpret=interpret)
+    return jnp.where(fg_hw, v[:h, :w], -1)
+
+
+# -------------------------------------------------- dense-id histogram + LUT
+#
+# Scatter-free component-area machinery for min-area removal
+# (ops.components.remove_small_components_batch). Per-pixel component
+# ids in [0, bins) are histogrammed and looked up through a (hi, lo)
+# two-level decomposition (id = hi * 128 + lo) where BOTH levels are
+# exact one-hot contractions on the MXU — XLA's scatter-add measured
+# 92 ms and its gather 63 ms for an 8-scene batch at 600^2; these two
+# kernels replace both with ~4 ms of bf16 matmuls (0/1 indicators and
+# counts < 2^24 are exact in bf16 operands with f32 accumulation).
+# Ids >= bins (or the caller's background sentinel) fall outside every
+# one-hot and silently contribute/read nothing.
+
+_HIST_LO = 128  # low-level bins == one lane tile
+
+
+def _hist_dense_kernel(n_chunks: int, bins_hi: int, ids_ref, counts_ref):
+    dt = jnp.bfloat16
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (bins_hi, 1), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, _HIST_LO), 1)
+
+    def body(j, acc):
+        row = ids_ref[0, pl.ds(j, 1), :]                    # (1, K)
+        oh_hi = (iota_hi == (row >> 7)).astype(dt)          # (bins_hi, K)
+        oh_lo = ((row.reshape(-1, 1) & 127) == iota_lo).astype(dt)
+        return acc + jax.lax.dot_general(
+            oh_hi, oh_lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jnp.zeros((bins_hi, _HIST_LO), jnp.float32)
+    counts_ref[0] = jax.lax.fori_loop(0, n_chunks, body, acc)
+
+
+def hist_dense_pallas(ids: jnp.ndarray, bins_hi: int = 256,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(M, NC, K) int32 ids -> (M, bins_hi, 128) f32 exact counts of each
+    id value in [0, bins_hi*128) per leading index. K must be a multiple
+    of 128; out-of-range ids are not counted."""
+    m, nc, k = ids.shape
+    call = pl.pallas_call(
+        functools.partial(_hist_dense_kernel, nc, bins_hi),
+        out_shape=jax.ShapeDtypeStruct((m, bins_hi, _HIST_LO), jnp.float32),
+        grid=(m,),
+        in_specs=[pl.BlockSpec((1, nc, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, bins_hi, _HIST_LO), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return call(ids)
+
+
+def _keep_lut_kernel(n_chunks: int, bins_hi: int, ids_ref, kmt_ref, out_ref):
+    dt = jnp.bfloat16
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (bins_hi, 1), 0)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_HIST_LO, 1), 0)
+    kmt = kmt_ref[0].astype(dt)                             # (128, bins_hi)
+
+    def body(j, _):
+        row = ids_ref[0, pl.ds(j, 1), :]                    # (1, K)
+        oh_hi = (iota_hi == (row >> 7)).astype(dt)          # (bins_hi, K)
+        # t1[l, p] = km[hi(p), l] — one matmul selects each pixel's
+        # keep-column; the lo one-hot then selects the row, summing over
+        # sublanes back to the (1, K) pixel row
+        t1 = jax.lax.dot_general(kmt, oh_hi, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        oh_lo = (iota_lo == (row & 127)).astype(jnp.float32)  # (128, K)
+        keep = jnp.sum(t1 * oh_lo, axis=0, keepdims=True)   # (1, K)
+        # int32 store: Mosaic cannot store i8 rows at arbitrary sublane
+        # offsets (int8 packs 4 sublanes per vreg row)
+        out_ref[0, pl.ds(j, 1), :] = (keep > 0.5).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def keep_lut_pallas(ids: jnp.ndarray, keepmat_t: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """(M, NC, K) int32 ids + (M, 128, bins_hi) 0/1 keep table
+    (TRANSPOSED: [lo, hi]) -> (M, NC, K) int32 keep bits; ids outside
+    [0, bins_hi*128) read 0."""
+    m, nc, k = ids.shape
+    bins_hi = keepmat_t.shape[2]
+    call = pl.pallas_call(
+        functools.partial(_keep_lut_kernel, nc, bins_hi),
+        out_shape=jax.ShapeDtypeStruct((m, nc, k), jnp.int32),
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((1, nc, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _HIST_LO, bins_hi), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, nc, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+    return call(ids, keepmat_t.astype(jnp.float32))

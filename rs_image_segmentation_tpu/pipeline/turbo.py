@@ -381,6 +381,111 @@ def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
     return (labels.reshape(h, w) + 1).astype(jnp.uint8)
 
 
+def _rule_front(scene_u8, stretch_lut_u8, cfg, sp=None):
+    """Preamble + robust-normalize + the four rule indices for one scene
+    (reference 3_classification.py:335-375 never touches PCA/texture)."""
+    from rs_image_segmentation_tpu.ops.indices import mndwi as mndwi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndbi as ndbi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndvi as ndvi_fn
+    from rs_image_segmentation_tpu.ops.indices import ndwi as ndwi_fn
+
+    c, h, w = scene_u8.shape
+    stretched, hist = _preamble(scene_u8, stretch_lut_u8, sp)
+    n = h * w
+    vals = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32), (c, 256))
+    p = percentiles_from_counts(hist, vals,
+                                (cfg.normalize.lower_percentile,
+                                 cfg.normalize.upper_percentile), n)
+    lo, hi = p[0][:, None, None], p[1][:, None, None]
+    b = ((jnp.clip(stretched, lo, hi) - lo)
+         / (hi - lo + cfg.normalize.epsilon))
+    return (ndvi_fn(b[3], b[2]), ndwi_fn(b[1], b[3]),
+            mndwi_fn(b[1], b[4]), ndbi_fn(b[4], b[3]))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg"))
+def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
+                                  stretch_luts_u8: jnp.ndarray,
+                                  cfg: FeatureStageConfig = FeatureStageConfig(),
+                                  rule_cfg=None,
+                                  stretch_params=None) -> jnp.ndarray:
+    """Batched rule-based classification: (B, 7, H, W) raw uint8 scenes +
+    (B, 7, 256) stretch LUTs -> (B, H, W) uint8 labels in ONE device
+    program, bit-identical per scene to the standard rule graph
+    (pipeline.classify.rule_based_classify; tested).
+
+    The per-scene rule program was dominated by connected-components
+    convergence plus XLA's scatter/gather for min-area removal (28.4 ms
+    device: CC 4.8 + areas 9.4 + keep 7.2); here ALL masks of the batch
+    (3 per scene, then the bareland masks) stack into one tall image and
+    flow through the scatter-free batched min-area machinery
+    (ops.components.remove_small_components_batch: one gated Pallas
+    propagation + two one-hot MXU contractions per stage).
+
+    Reference: scripts/3_classification.py:335-375, extract.py:299-505.
+    """
+    from rs_image_segmentation_tpu.core.config import RuleBasedConfig
+    from rs_image_segmentation_tpu.ops.components import (
+        remove_small_components_batch)
+    from rs_image_segmentation_tpu.ops.morphology import closing, opening
+    from rs_image_segmentation_tpu.ops.threshold import threshold_binary
+
+    rc = rule_cfg if rule_cfg is not None else RuleBasedConfig()
+    b, c, h, w = scenes_u8.shape
+    area = h * w
+    if stretch_params is not None:
+        nd = jax.vmap(lambda s, l, p: _rule_front(s, l, cfg, p))(
+            scenes_u8, stretch_luts_u8, stretch_params)
+    else:
+        nd = jax.vmap(lambda s, l: _rule_front(s, l, cfg))(
+            scenes_u8, stretch_luts_u8)
+    ndvi, ndwi, mndwi, ndbi = nd
+
+    veg = threshold_binary(ndvi, rc.ndvi_threshold)
+    if rc.use_mndwi_if_available:
+        water = threshold_binary(mndwi, rc.mndwi_threshold)
+    else:
+        water = threshold_binary(ndwi, rc.ndwi_threshold)
+    built = (threshold_binary(ndbi, rc.ndbi_threshold).astype(bool)
+             & threshold_binary(ndvi, rc.ndvi_threshold_for_builtup,
+                                above=False).astype(bool)).astype(jnp.uint8)
+
+    # post-process: close -> min-area (ONE batched pass over 3B masks)
+    # -> open, kernel 3/3/5 like advanced_post_processing's callers
+    veg = closing(veg, 3, shape="ellipse")
+    water = closing(water, 3, shape="ellipse")
+    built = closing(built, 5, shape="ellipse")
+    stack3 = jnp.concatenate([veg, water, built])           # (3B, H, W)
+    min_areas = jnp.concatenate([
+        jnp.full((b,), int(area * rc.veg_min_area_frac), jnp.int32),
+        jnp.full((b,), int(area * rc.water_min_area_frac), jnp.int32),
+        jnp.full((b,), int(area * rc.builtup_min_area_frac), jnp.int32)])
+    kept = remove_small_components_batch(stack3, min_areas)
+    veg = opening(kept[:b], 3, shape="ellipse")
+    water = opening(kept[b:2 * b], 3, shape="ellipse")
+    built = opening(kept[2 * b:], 5, shape="ellipse")
+
+    out = jnp.zeros((b, h, w), jnp.uint8)
+    out = jnp.where(built == 1, 3, out)     # priority paint: builtup
+    out = jnp.where(veg == 1, 1, out)       # then vegetation
+    out = jnp.where(water == 1, 2, out)     # water wins
+
+    # bareland from the unclassified remainder (extract.py:460-505)
+    bare = ((out == 0)
+            & (jnp.nan_to_num(ndvi) > rc.bareland_ndvi_low)
+            & (jnp.nan_to_num(ndvi) < rc.bareland_ndvi_high)
+            & (jnp.nan_to_num(ndbi) > rc.bareland_ndbi_low)
+            & (jnp.nan_to_num(ndbi) < rc.bareland_ndbi_high)
+            ).astype(jnp.uint8)
+    bare = closing(bare, 3, shape="ellipse")
+    bare = remove_small_components_batch(
+        bare, jnp.full((b,), int(area * rc.bareland_min_area_frac),
+                       jnp.int32))
+    bare = opening(bare, 3, shape="ellipse")
+    out = jnp.where((bare == 1) & (out == 0), 4, out)
+    return out.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))
 def rule_based_scenes_turbo(scene_u8: jnp.ndarray,
                             stretch_lut_u8: jnp.ndarray,

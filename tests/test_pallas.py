@@ -371,10 +371,10 @@ def test_cc_pallas_wide_mask_adaptive_strips(rng):
     from rs_image_segmentation_tpu.ops.components import connected_components
     from rs_image_segmentation_tpu.ops.pallas_kernels import (_cc_strip_rows,
                                                               cc_pallas)
-    assert _cc_strip_rows(640) == 128
-    assert _cc_strip_rows(6016) < 128
+    assert _cc_strip_rows(640) == 256
+    assert _cc_strip_rows(6016) < 256
     w = 4224
-    assert _cc_strip_rows(w) < 128
+    assert _cc_strip_rows(w) < 256
     m = np.zeros((130, w), bool)
     m[::3, :] = True            # row stripes spanning the full width
     m[:, ::97] = True           # columns stitching them into one component

@@ -178,3 +178,65 @@ def test_rule_based_scenes_turbo_matches_standard(rng, aa_scene):
     agreement = (ref == got).mean()
     assert agreement > 0.999, agreement
     assert set(np.unique(got)) <= {0, 1, 2, 3, 4}
+
+
+def test_rule_based_scenes_turbo_batch_matches_single(rng, aa_scene):
+    """Batched rule route (round 4): per-scene results identical to the
+    single-scene fused program AND >=99.9% of the standard graph, for a
+    heterogeneous 2-scene batch."""
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        rule_based_scenes_turbo, rule_based_scenes_turbo_batch)
+    arr, _ = aa_scene
+    a0 = np.ascontiguousarray(arr[:, :180, :200])
+    a1 = np.ascontiguousarray(arr[:, 300:480, 200:400])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    batch = np.stack([a0, a1])
+    luts = np.stack([build_stretch_lut(s, gains, biases).astype(np.uint8)
+                     for s in batch])
+    got = np.asarray(rule_based_scenes_turbo_batch(jnp.asarray(batch),
+                                                   jnp.asarray(luts)))
+    for i, s in enumerate(batch):
+        single = np.asarray(rule_based_scenes_turbo(
+            jnp.asarray(s), jnp.asarray(luts[i])))
+        assert np.array_equal(got[i], single), i
+
+
+def test_remove_small_components_batch_exact(rng):
+    """Batched min-area removal (tall-stack run-rank ids + MXU one-hot
+    histogram) == the per-mask scatter path, both backends."""
+    import jax
+
+    from rs_image_segmentation_tpu.ops.components import (
+        remove_small_components, remove_small_components_batch)
+    masks = (rng.random((4, 70, 90))
+             < np.array([0.3, 0.5, 0.7, 0.9])[:, None, None]).astype(np.uint8)
+    areas = np.array([5, 17, 40, 3], np.int32)
+    want = np.stack([
+        np.asarray(remove_small_components(jnp.asarray(masks[i]),
+                                           int(areas[i])))
+        for i in range(4)])
+    for impl in ("xla", "pallas"):
+        got = np.asarray(remove_small_components_batch(
+            jnp.asarray(masks), jnp.asarray(areas), impl=impl))
+        assert np.array_equal(got, want), impl
+
+
+def test_remove_small_components_batch_bins_cap(rng):
+    """Components beyond the per-mask bins cap are dropped (documented
+    fast-path behavior), never miscounted into other components."""
+    from rs_image_segmentation_tpu.ops.components import (
+        remove_small_components_batch)
+    # 3-px-spaced dots: 12x15 = 180 single-pixel components (= runs)
+    m = np.zeros((1, 36, 45), np.uint8)
+    m[0, ::3, ::3] = 1
+    got = np.asarray(remove_small_components_batch(
+        jnp.asarray(m), jnp.asarray([1], np.int32), bins=128,
+        impl="pallas"))
+    # first 128 run-ranks survive (area 1 >= 1), the tail is dropped
+    assert got.sum() == 128
+    # with enough bins everything survives
+    got = np.asarray(remove_small_components_batch(
+        jnp.asarray(m), jnp.asarray([1], np.int32), bins=256,
+        impl="pallas"))
+    assert got.sum() == 180
