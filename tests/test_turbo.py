@@ -240,3 +240,24 @@ def test_remove_small_components_batch_bins_cap(rng):
         jnp.asarray(m), jnp.asarray([1], np.int32), bins=256,
         impl="pallas"))
     assert got.sum() == 180
+
+
+def test_kmeans_scenes_turbo_batch(rng, aa_scene):
+    """Batched unsupervised route (round 4): per-scene cluster maps with
+    real structure; a duplicated scene clusters identically across the
+    batch (fits are per-scene and deterministic given the seed)."""
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch)
+    arr, _ = aa_scene
+    a0 = np.ascontiguousarray(arr[:, :180, :200])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    batch = np.stack([a0, a0])
+    luts = np.stack([build_stretch_lut(s, gains, biases).astype(np.uint8)
+                     for s in batch])
+    got = np.asarray(kmeans_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts), n_clusters=5, fit_stride=4))
+    assert got.shape == (2, 180, 200)
+    assert got.min() >= 1 and got.max() <= 5
+    assert len(np.unique(got[0])) >= 3
+    assert np.array_equal(got[0], got[1])
