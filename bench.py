@@ -1,25 +1,38 @@
 #!/usr/bin/env python3
 """Benchmark: sustained end-to-end scene-classification throughput.
 
-Measures BASELINE.json config #5 (multi-scene batch): batches of 8 TM
-scenes ship host->device as ONE transfer and classify in ONE device
-program (uint8 scenes -> exact-LUT preprocess -> full 19-channel feature
-stack incl. GLCM/LBP/entropy -> random-forest GEMM over every pixel),
-with several batches kept in flight so transfers, host LUT prep, and
-device compute overlap. This is the deployment shape: the per-RPC
-latency of this environment's device tunnel is paid once per 8 scenes
-instead of once per scene.
+Measures BASELINE.json config #5 (multi-scene batch) for ALL THREE
+reference stage-3 method branches (3_classification.py:335-485), plus a
+36 MP large-scene measurement:
 
-Accuracy gates (ALL must pass or the process exits 2) — one per
-reference stage-3 method branch (3_classification.py:335-485):
+  * random_forest (headline): batches of 8 TM scenes ship host->device
+    as ONE transfer and classify in ONE device program (uint8 scenes ->
+    exact-LUT preprocess -> full 19-channel feature stack incl.
+    GLCM/LBP/entropy -> random-forest GEMM over every pixel), several
+    batches in flight so transfers, host LUT prep, and device compute
+    overlap. Best of THREE stream repetitions insulates the recorded
+    figure from single tunnel stalls.
+  * rule_based / kmeans: the same sustained 8-scene-batch protocol over
+    the fused batched programs (pipeline.turbo.rule_based_scenes_turbo_
+    batch / kmeans_scenes_turbo_batch) -> *_sustained_mp_per_s fields.
+  * large scene: a 6000x6000x7 scene (100x the bundled scene, tiled
+    from AA.tif with per-tile DN rolls) through the memory-bounded
+    tiled pipeline; the recorded figure is the warm steady-state of a
+    SECOND distinct 36 MP scene in the same process (the long-lived
+    deployment shape) -> large_scene_* fields.
+
+Accuracy gates (ALL must pass or the process exits 2):
   - random_forest: Kappa vs the bundled 33-px ROI within 0.5% of the
     sklearn replay (BASELINE.md: OA 0.970 / Kappa 0.953), AND >= 99.9%
     full-scene agreement with the bundled output/class_map.npy.
-  - kmeans: cluster-majority-mapped Kappa vs the ROI >= 0.75
-    (kmeans_scenes_turbo measures 0.765 on this scene; the mapping is
-    the reference's own evaluation semantics, 4_evaluate.py:97-128).
-  - rule_based: >= 99.9% agreement between the fused turbo rule program
-    and the standard rule graph on the full scene.
+  - kmeans: cluster-majority-mapped Kappa vs the ROI >= 0.75 for the
+    BATCHED program (measures 0.906; the single-scene full-fit program
+    measures 0.765 = the sklearn-anchored figure, see
+    tests/test_models.py::test_kmeans_sklearn_scene_anchor).
+  - rule_based: the BATCHED fused program must agree >= 99.9% with the
+    standard rule graph on the full scene (measures 100%).
+  - large_scene: warm steady-state e2e >= 2.9 MP/s (the 50x north star;
+    measures ~5-8 depending on tunnel state).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <sustained MP/s>, "unit": "MP/s",
@@ -45,7 +58,10 @@ ROI = "/root/reference/output/ROI/roi_mask.npy"
 CLASS_MAP = "/root/reference/output/class_map.npy"
 
 BATCH = 8      # scenes per device program (BASELINE config #5)
-ROUNDS = 5     # timed batches in the sustained stream
+ROUNDS = 5     # timed batches in the sustained headline stream
+ROUNDS_M = 3   # timed batches per secondary-method stream
+STREAMS = 3    # stream repetitions, best-of (headline)
+LARGE_REPS = 10  # 6000x6000 = (600*LARGE_REPS)^2
 
 
 def _kappa(y_true, y_pred):
@@ -57,6 +73,18 @@ def _kappa(y_true, y_pred):
     labels = sorted(set(np.unique(y_true)) | set(np.unique(y_pred)))
     cm = confusion_matrix(y_true, y_pred, labels)
     return overall_accuracy(cm), cohen_kappa(cm)
+
+
+def _tiled_scene(aa: np.ndarray, reps: int, roll0: int) -> np.ndarray:
+    """(7, 600r, 600r) scene tiled from the bundled one with per-tile DN
+    rolls so global statistics are non-trivial."""
+    h = w = 600 * reps
+    big = np.empty((7, h, w), np.uint8)
+    for i in range(reps):
+        for j in range(reps):
+            big[:, i * 600:(i + 1) * 600, j * 600:(j + 1) * 600] = np.roll(
+                aa, roll0 + 13 * (i * reps + j), axis=2)
+    return big
 
 
 def main() -> None:
@@ -135,10 +163,10 @@ def main() -> None:
     sync(classify_one(arr))
 
     # --- sustained stream: all ROUNDS batches in flight -------------------
-    # (two repetitions; take the better — guards the recorded figure
-    # against a single tunnel stall hitting one stream)
+    # (best of STREAMS repetitions — guards the recorded figure against a
+    # tunnel stall hitting one stream)
     stream_times = []
-    for _ in range(2):
+    for _ in range(STREAMS):
         t0 = time.perf_counter()
         outs = [run_batch(b) for b in batches]
         for o in outs:
@@ -200,45 +228,119 @@ def main() -> None:
     agreement = float((class_map == np.load(CLASS_MAP)).mean())
     rf_gate = (kappa >= 0.953 - 0.005) and (agreement >= 0.999)
 
-    # kmeans gate: fused unsupervised program, cluster-majority mapping
-    # (the reference's evaluation semantics absorb label permutation)
+    # --- kmeans: sustained batched stream + quality gate --------------------
+    # (cluster-majority mapping = the reference's own evaluation
+    # semantics, 4_evaluate.py:97-128, absorbing label permutation)
     from rs_image_segmentation_tpu.pipeline.evaluate import (
         ClassificationEvaluator)
     from rs_image_segmentation_tpu.pipeline.turbo import (
-        kmeans_scenes_turbo, rule_based_scenes_turbo)
-    lut0 = jax.device_put(build_stretch_lut(arr, gains, biases
-                                            ).astype(np.uint8))
-    arr_d = jax.device_put(arr)
-    km_out = kmeans_scenes_turbo(arr_d, lut0, n_clusters=7)
+        kmeans_scenes_turbo, kmeans_scenes_turbo_batch,
+        rule_based_scenes_turbo, rule_based_scenes_turbo_batch)
+
+    def run_km_batch(scenes_np):
+        pairs = [build_stretch_params(s, gains, biases) for s in scenes_np]
+        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
+        sps = np.stack([p[1] for p in pairs])
+        return kmeans_scenes_turbo_batch(
+            jax.device_put(scenes_np), jax.device_put(luts), n_clusters=7,
+            cfg=cfg, stretch_params=jax.device_put(sps))
+
+    km_out = run_km_batch(batches[0])
     sync(km_out)
-    t1 = time.perf_counter()
-    km = np.asarray(kmeans_scenes_turbo(arr_d, lut0, n_clusters=7))
-    km_dt = time.perf_counter() - t1
+    km_streams = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs_k = [run_km_batch(b) for b in batches[:ROUNDS_M]]
+        for o in outs_k:
+            sync(o)
+        km_streams.append(time.perf_counter() - t0)
+    km_sustained = ROUNDS_M * BATCH * mp / min(km_streams)
     ev = ClassificationEvaluator()
-    km_pred, km_truth = ev.extract_valid_samples(km, roi)
+    km_map = np.asarray(outs_k[0][0])
+    km_pred, km_truth = ev.extract_valid_samples(km_map, roi)
     km_mapped = ev.map_clusters_to_classes(km_pred, km_truth)
     _, km_kappa = _kappa(km_truth, km_mapped)
     km_gate = km_kappa >= 0.75
 
-    # rule_based gate: fused turbo program == standard rule graph
+    # single-scene full-fit figure (back-compat field + sklearn anchor)
+    lut0 = jax.device_put(build_stretch_lut(arr, gains, biases
+                                            ).astype(np.uint8))
+    arr_d = jax.device_put(arr)
+    sync(kmeans_scenes_turbo(arr_d, lut0, n_clusters=7))
+    t1 = time.perf_counter()
+    km1 = np.asarray(kmeans_scenes_turbo(arr_d, lut0, n_clusters=7))
+    km_dt = time.perf_counter() - t1
+
+    # --- rule_based: sustained batched stream + agreement gate --------------
+    def run_rb_batch(scenes_np):
+        pairs = [build_stretch_params(s, gains, biases) for s in scenes_np]
+        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
+        sps = np.stack([p[1] for p in pairs])
+        return rule_based_scenes_turbo_batch(
+            jax.device_put(scenes_np), jax.device_put(luts), cfg,
+            stretch_params=jax.device_put(sps))
+
+    rb_out = run_rb_batch(batches[0])
+    sync(rb_out)
+    rb_streams = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs_b = [run_rb_batch(b) for b in batches[:ROUNDS_M]]
+        for o in outs_b:
+            sync(o)
+        rb_streams.append(time.perf_counter() - t0)
+    rb_sustained = ROUNDS_M * BATCH * mp / min(rb_streams)
+
     from rs_image_segmentation_tpu.ops.indices import spectral_indices
     from rs_image_segmentation_tpu.ops.normalize import robust_normalize
     from rs_image_segmentation_tpu.pipeline.classify import (
         rule_based_classify)
-    rb_out = rule_based_scenes_turbo(arr_d, lut0)
-    sync(rb_out)
-    t1 = time.perf_counter()
-    rb = np.asarray(rule_based_scenes_turbo(arr_d, lut0))
-    rb_dt = time.perf_counter() - t1
     bands01 = jnp.stack([robust_normalize(b.astype(jnp.float32))
                          for b in jax.device_put(pre0)])
     sidx = spectral_indices(bands01)
     rb_std = np.asarray(rule_based_classify(sidx["ndvi"], sidx["ndwi"],
                                             sidx["mndwi"], sidx["ndbi"]))
-    rb_agreement = float((rb == rb_std).mean())
+    rb_agreement = float((np.asarray(outs_b[0][0]) == rb_std).mean())
     rb_gate = rb_agreement >= 0.999
 
-    gate_ok = rf_gate and km_gate and rb_gate
+    # single-scene fused figure (back-compat field)
+    sync(rule_based_scenes_turbo(arr_d, lut0))
+    t1 = time.perf_counter()
+    np.asarray(rule_based_scenes_turbo(arr_d, lut0))
+    rb_dt = time.perf_counter() - t1
+
+    # --- 36 MP large scene: warm steady-state ------------------------------
+    # (reference large-raster surface: the tiled 19-band GeoTIFF writer,
+    # 2_feature_extraction.py:240-258; SURVEY §6 north star >= 50x)
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        classify_large_scene, preprocess_large)
+    big = _tiled_scene(arr, LARGE_REPS, 0)
+    mp_large = big.shape[1] * big.shape[2] / 1e6
+    t0 = time.perf_counter()
+    pre_l, hists_l = preprocess_large(big, cal, return_device=True,
+                                      return_hist=True)
+    jax.device_get(pre_l[0, :1, :1])
+    out_l = classify_large_scene(pre_l, gf, cfg, tile_rows=504,
+                                 hists=hists_l)
+    t_large_first = time.perf_counter() - t0
+    ok_labels = set(np.unique(out_l)) <= {1, 2, 3}
+    del big, pre_l, hists_l, out_l
+    # warm steady-state: a DIFFERENT 36 MP scene in the same process
+    big2 = _tiled_scene(arr, LARGE_REPS, 7)
+    t0 = time.perf_counter()
+    pre_l2, hists_l2 = preprocess_large(big2, cal, return_device=True,
+                                        return_hist=True)
+    jax.device_get(pre_l2[0, :1, :1])
+    out_l2 = classify_large_scene(pre_l2, gf, cfg, tile_rows=504,
+                                  hists=hists_l2)
+    t_large_warm = time.perf_counter() - t0
+    large_mps = mp_large / t_large_warm
+    large_gate = bool(ok_labels
+                      and set(np.unique(out_l2)) <= {1, 2, 3}
+                      and large_mps >= 2.9)
+    del big2, pre_l2, hists_l2, out_l2
+
+    gate_ok = rf_gate and km_gate and rb_gate and large_gate
 
     result = {
         "metric": "sustained e2e scene classification "
@@ -259,13 +361,24 @@ def main() -> None:
         "kappa": round(kappa, 4),
         "kappa_baseline": 0.953,
         "fullscene_agreement": round(agreement, 5),
+        "kmeans_sustained_mp_per_s": round(km_sustained, 3),
+        "kmeans_sustained_vs_baseline": round(
+            km_sustained / BASELINE_MP_PER_S, 1),
         "kmeans_roi_kappa": round(float(km_kappa), 4),
         "kmeans_seconds_per_scene": round(km_dt, 5),
+        "rule_sustained_mp_per_s": round(rb_sustained, 3),
+        "rule_sustained_vs_baseline": round(
+            rb_sustained / BASELINE_MP_PER_S, 1),
         "rule_agreement_vs_standard": round(rb_agreement, 5),
         "rule_seconds_per_scene": round(rb_dt, 5),
-        "gates": {"random_forest": rf_gate, "kmeans": km_gate,
-                  "rule_based": rb_gate},
-        "gate_ok": gate_ok,
+        "large_scene_mp": round(mp_large, 1),
+        "large_scene_warm_e2e_s": round(t_large_warm, 2),
+        "large_scene_mp_per_s": round(large_mps, 3),
+        "large_scene_vs_baseline": round(large_mps / BASELINE_MP_PER_S, 1),
+        "large_scene_first_e2e_s": round(t_large_first, 2),
+        "gates": {"random_forest": rf_gate, "kmeans": bool(km_gate),
+                  "rule_based": rb_gate, "large_scene": large_gate},
+        "gate_ok": bool(gate_ok),
     }
     print(json.dumps(result), flush=True)
     # skip jax/runtime teardown: the device tunnel in this environment can
