@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 
 def stage1(argv=None) -> None:
@@ -90,7 +89,8 @@ def classify_large(argv=None) -> None:
     from rs_image_segmentation_tpu.models.forest import _gemm_for
     from rs_image_segmentation_tpu.pipeline.large_scene import (
         classify_large_scene, classify_large_scene_resumable,
-        kmeans_large_scene, preprocess_large, rule_based_large_scene)
+        kmeans_large_scene, kmeans_large_scene_resumable, preprocess_large,
+        rule_based_large_scene, rule_based_large_scene_resumable)
 
     arr, info = read_tiff(args.scene)
     hists = None
@@ -103,17 +103,22 @@ def classify_large(argv=None) -> None:
     else:
         arr = arr.astype(np.uint8)
 
-    if args.method in ("kmeans", "rule_based") and args.checkpoint_dir:
-        print("warning: --checkpoint-dir applies only to "
-              "--method random_forest (per-tile resume); ignored",
-              file=sys.stderr)
     if args.method == "kmeans":
-        result = kmeans_large_scene(arr, n_clusters=args.clusters,
-                                    tile_rows=args.tile_rows)
+        if args.checkpoint_dir:
+            result = kmeans_large_scene_resumable(
+                arr, args.checkpoint_dir, n_clusters=args.clusters,
+                tile_rows=args.tile_rows)
+        else:
+            result = kmeans_large_scene(arr, n_clusters=args.clusters,
+                                        tile_rows=args.tile_rows)
         _write_large_output(args.output, result, info)
         return
     if args.method == "rule_based":
-        result = rule_based_large_scene(arr, hists=hists)
+        if args.checkpoint_dir:
+            result = rule_based_large_scene_resumable(
+                arr, args.checkpoint_dir, hists=hists)
+        else:
+            result = rule_based_large_scene(arr, hists=hists)
         _write_large_output(args.output, result, info)
         return
 

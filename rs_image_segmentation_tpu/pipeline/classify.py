@@ -42,6 +42,67 @@ from rs_image_segmentation_tpu.ops.threshold import threshold_binary
 
 # ------------------------------------------------------------- rule based
 
+def rule_mask(kind: str, ndvi: jnp.ndarray, ndwi: Optional[jnp.ndarray],
+              mndwi: Optional[jnp.ndarray], ndbi: jnp.ndarray,
+              cfg: RuleBasedConfig = RuleBasedConfig(),
+              cc_impl: str = "auto") -> jnp.ndarray:
+    """One post-processed rule mask (``kind`` in vegetation/water/builtup
+    — reference extract.py:397-458). Factored out so the large-scene
+    resumable path can checkpoint per mask while
+    :func:`rule_based_classify` stays the single source of truth."""
+    h, w = ndvi.shape
+    area = h * w
+    if kind == "vegetation":
+        veg = threshold_binary(ndvi, cfg.ndvi_threshold)
+        return post_process_mask(veg, int(area * cfg.veg_min_area_frac), 3,
+                                 cc_impl=cc_impl)
+    if kind == "water":
+        if cfg.use_mndwi_if_available and mndwi is not None:
+            water = threshold_binary(mndwi, cfg.mndwi_threshold)
+        else:
+            water = threshold_binary(ndwi, cfg.ndwi_threshold)
+        return post_process_mask(water, int(area * cfg.water_min_area_frac),
+                                 3, cc_impl=cc_impl)
+    if kind == "builtup":
+        built = threshold_binary(ndbi, cfg.ndbi_threshold)
+        non_veg = threshold_binary(ndvi, cfg.ndvi_threshold_for_builtup,
+                                   above=False)
+        built = (built.astype(bool) & non_veg.astype(bool)).astype(jnp.uint8)
+        return post_process_mask(built,
+                                 int(area * cfg.builtup_min_area_frac), 5,
+                                 cc_impl=cc_impl)
+    raise ValueError(f"unknown rule mask kind {kind!r}")
+
+
+def paint_rule_masks(veg: jnp.ndarray, water: jnp.ndarray,
+                     built: jnp.ndarray) -> jnp.ndarray:
+    """Priority paint builtup(3) -> vegetation(1) -> water(2) (reference
+    3_classification.py:361-363)."""
+    out = jnp.zeros(veg.shape, jnp.uint8)
+    out = jnp.where(built == 1, 3, out)     # priority paint: builtup
+    out = jnp.where(veg == 1, 1, out)       # then vegetation
+    out = jnp.where(water == 1, 2, out)     # water wins
+    return out
+
+
+def bare_rule_mask(painted: jnp.ndarray, ndvi: jnp.ndarray,
+                   ndbi: jnp.ndarray,
+                   cfg: RuleBasedConfig = RuleBasedConfig(),
+                   cc_impl: str = "auto") -> jnp.ndarray:
+    """Bareland mask from the unclassified remainder of the painted map
+    (reference extract.py:460-505)."""
+    h, w = ndvi.shape
+    area = h * w
+    bare = ((painted == 0)
+            & (jnp.nan_to_num(ndvi) > cfg.bareland_ndvi_low)
+            & (jnp.nan_to_num(ndvi) < cfg.bareland_ndvi_high)
+            & (jnp.nan_to_num(ndbi) > cfg.bareland_ndbi_low)
+            & (jnp.nan_to_num(ndbi) < cfg.bareland_ndbi_high)
+            ).astype(jnp.uint8)
+    return post_process_mask(bare, int(area * cfg.bareland_min_area_frac), 3,
+                             cc_impl=cc_impl)
+
+
 def rule_based_classify(ndvi: jnp.ndarray, ndwi: jnp.ndarray,
                         mndwi: Optional[jnp.ndarray], ndbi: jnp.ndarray,
                         cfg: RuleBasedConfig = RuleBasedConfig(),
@@ -51,40 +112,12 @@ def rule_based_classify(ndvi: jnp.ndarray, ndwi: jnp.ndarray,
     4=bareland}. ``cc_impl`` picks the connected-components backend
     (ops.components.connected_components_best); the default "auto" is
     right both per-scene and under vmap."""
-    h, w = ndvi.shape
-    area = h * w
-
-    veg = threshold_binary(ndvi, cfg.ndvi_threshold)
-    veg = post_process_mask(veg, int(area * cfg.veg_min_area_frac), 3,
-                            cc_impl=cc_impl)
-
-    if cfg.use_mndwi_if_available and mndwi is not None:
-        water = threshold_binary(mndwi, cfg.mndwi_threshold)
-    else:
-        water = threshold_binary(ndwi, cfg.ndwi_threshold)
-    water = post_process_mask(water, int(area * cfg.water_min_area_frac), 3,
-                              cc_impl=cc_impl)
-
-    built = threshold_binary(ndbi, cfg.ndbi_threshold)
-    non_veg = threshold_binary(ndvi, cfg.ndvi_threshold_for_builtup, above=False)
-    built = (built.astype(bool) & non_veg.astype(bool)).astype(jnp.uint8)
-    built = post_process_mask(built, int(area * cfg.builtup_min_area_frac), 5,
-                              cc_impl=cc_impl)
-
-    out = jnp.zeros((h, w), jnp.uint8)
-    out = jnp.where(built == 1, 3, out)     # priority paint: builtup
-    out = jnp.where(veg == 1, 1, out)       # then vegetation
-    out = jnp.where(water == 1, 2, out)     # water wins
-
+    veg = rule_mask("vegetation", ndvi, ndwi, mndwi, ndbi, cfg, cc_impl)
+    water = rule_mask("water", ndvi, ndwi, mndwi, ndbi, cfg, cc_impl)
+    built = rule_mask("builtup", ndvi, ndwi, mndwi, ndbi, cfg, cc_impl)
+    out = paint_rule_masks(veg, water, built)
     # bareland from the unclassified remainder (extract.py:460-505)
-    unclassified = out == 0
-    bare = (unclassified
-            & (jnp.nan_to_num(ndvi) > cfg.bareland_ndvi_low)
-            & (jnp.nan_to_num(ndvi) < cfg.bareland_ndvi_high)
-            & (jnp.nan_to_num(ndbi) > cfg.bareland_ndbi_low)
-            & (jnp.nan_to_num(ndbi) < cfg.bareland_ndbi_high)).astype(jnp.uint8)
-    bare = post_process_mask(bare, int(area * cfg.bareland_min_area_frac), 3,
-                             cc_impl=cc_impl)
+    bare = bare_rule_mask(out, ndvi, ndbi, cfg, cc_impl)
     out = jnp.where((bare == 1) & (out == 0), 4, out)
     return out.astype(jnp.uint8)
 

@@ -421,41 +421,36 @@ def _fit_sample_plan(h: int, w: int, tile_rows: int, fit_fraction: float,
     return counts
 
 
-def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
-                       cfg: FeatureStageConfig = FeatureStageConfig(),
-                       tile_rows: int = 504, seed: int = 42,
-                       fit_fraction: float = 0.1,
-                       max_fit_pixels: int = 2_000_000) -> np.ndarray:
-    """Unsupervised classification of an arbitrarily large preprocessed
-    scene: global MinMax bounds and centroids are fit on a deterministic
-    systematic pixel subsample (every ~N/k-th pixel per tile — standard
-    practice for out-of-core KMeans), then every tile is assigned against
-    the fixed centroids. Labels are 1-based like stage 3 (reference
-    3_classification.py:393). Memory stays bounded: tiles are recomputed
-    in the assignment pass rather than cached."""
-    from rs_image_segmentation_tpu.models.kmeans import (kmeans_fit_predict,
-                                                         lloyd_step)
+def _kmeans_tiles(arr: np.ndarray, cfg: FeatureStageConfig, tile_rows: int,
+                  src, stack_tile):
+    c, h, w = arr.shape
+    for y0 in range(0, h, tile_rows):
+        rows = min(tile_rows, h - y0)
+        ys = max(0, y0 - HALO)
+        ye = min(h, y0 + rows + HALO)
+        tile = _get_tile(src, ys, ye)
+        yield y0, rows, stack_tile(tile, y0, y0 - ys, rows)
+
+
+def _kmeans_fit_large(arr: np.ndarray, n_clusters: int,
+                      cfg: FeatureStageConfig, tile_rows: int, seed: int,
+                      fit_fraction: float, max_fit_pixels: int,
+                      src, stack_tile):
+    """Pass 1 of the out-of-core KMeans: global MinMax bounds + a
+    deterministic systematic subsample + the centroid fit, all ON
+    DEVICE. History of this pass at 36 MP: fetching each tile's full
+    stack to host for min/max was ~2.7 GB of D2H (the path's original
+    96 s); a random device gather of the sample columns was ~1.4 s
+    PER TILE (166k-column gather from (19, 3M)). A strided slice is
+    a pure memory op, and systematic every-Nth-pixel sampling is a
+    textbook subsample for out-of-core KMeans fitting (spatially
+    auto-correlated imagery loses nothing to the stride).
+
+    Returns (mins, rng, centroids) device arrays — the complete fit
+    state (what the resumable path checkpoints)."""
+    from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
 
     c, h, w = arr.shape
-    src = _tile_src(arr)
-    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
-
-    def tiles():
-        for y0 in range(0, h, tile_rows):
-            rows = min(tile_rows, h - y0)
-            ys = max(0, y0 - HALO)
-            ye = min(h, y0 + rows + HALO)
-            tile = _get_tile(src, ys, ye)
-            yield y0, rows, stack_tile(tile, y0, y0 - ys, rows)
-
-    # pass 1: global MinMax bounds + deterministic subsample, all ON
-    # DEVICE. History of this pass at 36 MP: fetching each tile's full
-    # stack to host for min/max was ~2.7 GB of D2H (the path's original
-    # 96 s); a random device gather of the sample columns was ~1.4 s
-    # PER TILE (166k-column gather from (19, 3M)). A strided slice is
-    # a pure memory op, and systematic every-Nth-pixel sampling is a
-    # textbook subsample for out-of-core KMeans fitting (spatially
-    # auto-correlated imagery loses nothing to the stride).
     counts = _fit_sample_plan(h, w, tile_rows, fit_fraction, max_fit_pixels)
 
     @functools.partial(jax.jit, static_argnames=("stride", "count"))
@@ -466,7 +461,8 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
         return flat.min(axis=1), flat.max(axis=1), smp
 
     acc = []
-    for (y0, rows, stack), count in zip(tiles(), counts):
+    for (y0, rows, stack), count in zip(
+            _kmeans_tiles(arr, cfg, tile_rows, src, stack_tile), counts):
         n_px = rows * w
         acc.append(tile_stats(stack, stride=max(1, n_px // max(1, count)),
                               count=count))
@@ -480,7 +476,11 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
     smp = jnp.concatenate([a[2] for a in acc], axis=0)
     fit = ((smp - mins_d) / rng_d).astype(jnp.float32)
     _, state = kmeans_fit_predict(fit, n_clusters, seed=seed)
-    cents = state.centroids
+    return mins_d, rng_d, state.centroids
+
+
+def _kmeans_assign_fn(mins_d, rng_d, cents, n_clusters: int):
+    from rs_image_segmentation_tpu.models.kmeans import lloyd_step
 
     @jax.jit
     def assign(stack):
@@ -492,23 +492,44 @@ def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
         return (labels + 1).astype(jnp.uint8 if n_clusters < 255
                                    else jnp.int32)
 
+    return assign
+
+
+def kmeans_large_scene(arr: np.ndarray, n_clusters: int = 7,
+                       cfg: FeatureStageConfig = FeatureStageConfig(),
+                       tile_rows: int = 504, seed: int = 42,
+                       fit_fraction: float = 0.1,
+                       max_fit_pixels: int = 2_000_000) -> np.ndarray:
+    """Unsupervised classification of an arbitrarily large preprocessed
+    scene: global MinMax bounds and centroids are fit on a deterministic
+    systematic pixel subsample (:func:`_kmeans_fit_large`), then every
+    tile is assigned against the fixed centroids. Labels are 1-based
+    like stage 3 (reference 3_classification.py:393). Memory stays
+    bounded: tiles are recomputed in the assignment pass rather than
+    cached."""
+    c, h, w = arr.shape
+    src = _tile_src(arr)
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
+    mins_d, rng_d, cents = _kmeans_fit_large(
+        arr, n_clusters, cfg, tile_rows, seed, fit_fraction,
+        max_fit_pixels, src, stack_tile)
+    assign = _kmeans_assign_fn(mins_d, rng_d, cents, n_clusters)
     parts = [assign(stack).reshape(rows, w)
-             for _, rows, stack in tiles()]
+             for _, rows, stack in _kmeans_tiles(arr, cfg, tile_rows, src,
+                                                 stack_tile)]
     return np.asarray(jnp.concatenate(parts, axis=0), np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))
-def _rule_from_stretched(stretched_u8: jnp.ndarray, hist: jnp.ndarray,
-                         cfg: FeatureStageConfig, rule_cfg,
-                         cc_impl: str) -> jnp.ndarray:
-    """The turbo rule program from its preamble outputs onward — the same
-    device math as pipeline.turbo.rule_based_scenes_turbo:405-417, taking
-    the stretched scene + its histograms instead of raw DNs + LUT."""
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _rule_indices(stretched_u8: jnp.ndarray, hist: jnp.ndarray,
+                  cfg: FeatureStageConfig):
+    """Stretched scene + per-band histograms -> the four rule index
+    planes (ndvi, ndwi, mndwi, ndbi) with exact global percentile
+    normalization — the turbo rule preamble's downstream math."""
     from rs_image_segmentation_tpu.ops.indices import mndwi as mndwi_fn
     from rs_image_segmentation_tpu.ops.indices import ndbi as ndbi_fn
     from rs_image_segmentation_tpu.ops.indices import ndvi as ndvi_fn
     from rs_image_segmentation_tpu.ops.indices import ndwi as ndwi_fn
-    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
     from rs_image_segmentation_tpu.pipeline.turbo import (
         percentiles_from_counts)
 
@@ -521,8 +542,21 @@ def _rule_from_stretched(stretched_u8: jnp.ndarray, hist: jnp.ndarray,
     bands01 = ((jnp.clip(stretched_u8, lo, hi) - lo)
                / (hi - lo + cfg.normalize.epsilon))
     green, red, nir, swir1 = bands01[1], bands01[2], bands01[3], bands01[4]
-    return rule_based_classify(ndvi_fn(nir, red), ndwi_fn(green, nir),
-                               mndwi_fn(green, swir1), ndbi_fn(swir1, nir),
+    return (ndvi_fn(nir, red), ndwi_fn(green, nir),
+            mndwi_fn(green, swir1), ndbi_fn(swir1, nir))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg", "cc_impl"))
+def _rule_from_stretched(stretched_u8: jnp.ndarray, hist: jnp.ndarray,
+                         cfg: FeatureStageConfig, rule_cfg,
+                         cc_impl: str) -> jnp.ndarray:
+    """The turbo rule program from its preamble outputs onward — the same
+    device math as pipeline.turbo.rule_based_scenes_turbo, taking the
+    stretched scene + its histograms instead of raw DNs + LUT."""
+    from rs_image_segmentation_tpu.pipeline.classify import rule_based_classify
+
+    ndvi, ndwi, mndwi, ndbi = _rule_indices(stretched_u8, hist, cfg)
+    return rule_based_classify(ndvi, ndwi, mndwi, ndbi,
                                rule_cfg, cc_impl=cc_impl)
 
 
@@ -846,6 +880,218 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
 class TileInterrupt(RuntimeError):
     """Raised by the fault-injection hook (SURVEY §5: failure detection /
     fault injection) after N tiles, to test crash-resume paths."""
+
+
+def _scene_fingerprint(arr: np.ndarray, extra) -> str:
+    """Checkpoint binding: content hash (full up to 64 MB, strided sample
+    + shape beyond — hashing a multi-GB scene per run would dwarf a
+    resume) + the run parameters that change the output."""
+    import hashlib
+
+    hsh = hashlib.sha1()
+    hsh.update(repr((arr.shape, str(arr.dtype)) + tuple(extra)).encode())
+    if arr.nbytes <= (64 << 20):
+        hsh.update(np.ascontiguousarray(arr).tobytes())
+    else:
+        step = max(1, arr.nbytes // (16 << 20))
+        hsh.update(np.ascontiguousarray(arr.reshape(-1)[::step]).tobytes())
+    return hsh.hexdigest()
+
+
+def _open_manifest(checkpoint_dir: str, fingerprint: str, fresh: dict,
+                   data_files) -> dict:
+    """Load the manifest if it matches ``fingerprint``; otherwise discard
+    any stale checkpoint files and return ``fresh`` (with the fingerprint
+    stamped in). A partial checkpoint without a manifest is
+    unverifiable and also discarded."""
+    import json
+    import os
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    mpath = os.path.join(checkpoint_dir, "manifest.json")
+    fresh = dict(fresh, fingerprint=fingerprint)
+    stale = False
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            saved = json.load(f)
+        if saved.get("fingerprint") == fingerprint:
+            return saved
+        stale = True
+    else:
+        stale = any(os.path.exists(os.path.join(checkpoint_dir, p))
+                    for p in data_files)
+    if stale:
+        for p in data_files:
+            full = os.path.join(checkpoint_dir, p)
+            if os.path.exists(full):
+                os.remove(full)
+    return fresh
+
+
+def _save_manifest(checkpoint_dir: str, manifest: dict) -> None:
+    import json
+    import os
+
+    mpath = os.path.join(checkpoint_dir, "manifest.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, mpath)
+
+
+def kmeans_large_scene_resumable(
+        arr: np.ndarray, checkpoint_dir: str, n_clusters: int = 7,
+        cfg: FeatureStageConfig = FeatureStageConfig(),
+        tile_rows: int = 504, seed: int = 42, fit_fraction: float = 0.1,
+        max_fit_pixels: int = 2_000_000,
+        interrupt_after: Optional[int] = None) -> np.ndarray:
+    """:func:`kmeans_large_scene` with a resumable cursor (SURVEY §2.7
+    elastic row — checkpointed per-tile progress as a framework
+    property, not a per-method one).
+
+    Checkpoints to ``checkpoint_dir``:
+      * ``kmeans_fit.npz`` — the complete pass-1 fit state (global
+        MinMax bounds + converged centroids), computed once;
+      * ``partial.npy``   — the label map, flushed per assignment tile;
+      * ``manifest.json`` — fingerprint + completed tile rows, written
+        atomically after every tile.
+
+    A restarted run skips the fit and every completed tile and is
+    bit-identical to an uninterrupted run (assignment tiles are
+    independent given the fit state). The checkpoint is fingerprint-
+    bound to the scene content and every parameter that changes the
+    output."""
+    import os
+
+    c, h, w = arr.shape
+    fingerprint = _scene_fingerprint(
+        arr, (tile_rows, cfg, "kmeans", n_clusters, seed, fit_fraction,
+              max_fit_pixels))
+    fpath = os.path.join(checkpoint_dir, "kmeans_fit.npz")
+    ppath = os.path.join(checkpoint_dir, "partial.npy")
+    manifest = _open_manifest(
+        checkpoint_dir, fingerprint,
+        {"shape": [h, w], "tile_rows": tile_rows, "done": []},
+        ("kmeans_fit.npz", "partial.npy"))
+
+    src = _tile_src(arr)
+    stack_tile, _ = _make_stack_fn(arr, cfg, tile_rows, src=src)
+    if os.path.exists(fpath):
+        with np.load(fpath) as z:
+            mins_d = jnp.asarray(z["mins"])
+            rng_d = jnp.asarray(z["rng"])
+            cents = jnp.asarray(z["centroids"])
+    else:
+        mins_d, rng_d, cents = _kmeans_fit_large(
+            arr, n_clusters, cfg, tile_rows, seed, fit_fraction,
+            max_fit_pixels, src, stack_tile)
+        tmp = fpath + ".tmp.npz"
+        np.savez(tmp, mins=np.asarray(mins_d), rng=np.asarray(rng_d),
+                 centroids=np.asarray(cents))
+        os.replace(tmp, fpath)
+
+    if os.path.exists(ppath):
+        out = np.lib.format.open_memmap(ppath, mode="r+")
+    else:
+        out = np.lib.format.open_memmap(ppath, mode="w+", dtype=np.int32,
+                                        shape=(h, w))
+
+    assign = _kmeans_assign_fn(mins_d, rng_d, cents, n_clusters)
+    done = set(manifest["done"])
+    fresh_tiles = 0
+    for y0 in range(0, h, tile_rows):
+        if y0 in done:
+            continue
+        if interrupt_after is not None and fresh_tiles >= interrupt_after:
+            raise TileInterrupt(f"injected fault after {fresh_tiles} tiles")
+        rows = min(tile_rows, h - y0)
+        ys = max(0, y0 - HALO)
+        ye = min(h, y0 + rows + HALO)
+        tile = _get_tile(src, ys, ye)
+        stack = stack_tile(tile, y0, y0 - ys, rows)
+        out[y0:y0 + rows] = np.asarray(assign(stack).reshape(rows, w))
+        out.flush()
+        done.add(y0)
+        manifest["done"] = sorted(done)
+        _save_manifest(checkpoint_dir, manifest)
+        fresh_tiles += 1
+    return np.asarray(out)
+
+
+def rule_based_large_scene_resumable(
+        arr: np.ndarray, checkpoint_dir: str,
+        cfg: FeatureStageConfig = FeatureStageConfig(),
+        rule_cfg=None, hists: Optional[np.ndarray] = None,
+        interrupt_after: Optional[int] = None,
+        cc_impl: str = "auto") -> np.ndarray:
+    """:func:`rule_based_large_scene` with a resumable PER-MASK cursor.
+
+    The rule path is one device program per mask rather than a host tile
+    loop, so the natural checkpoint unit is the post-processed mask:
+    ``mask_vegetation/water/builtup/bareland.npy`` are flushed as each
+    completes (uint8, ~HW bytes each), with the fingerprint-bound
+    manifest recording completion. A resumed run recomputes only the
+    missing masks and paints the same final map bit-for-bit (masks are
+    deterministic functions of the scene + config; bareland depends only
+    on the three painted masks, which are loaded from the checkpoint).
+    ``interrupt_after=N`` raises :class:`TileInterrupt` after N freshly
+    computed masks (the fault-injection hook)."""
+    import os
+
+    from rs_image_segmentation_tpu.core.config import RuleBasedConfig
+    from rs_image_segmentation_tpu.pipeline.classify import (bare_rule_mask,
+                                                             paint_rule_masks,
+                                                             rule_mask)
+
+    rule_cfg = rule_cfg if rule_cfg is not None else RuleBasedConfig()
+    if hists is None:
+        hists = band_histograms_u8(arr)
+    c, h, w = arr.shape
+    fingerprint = _scene_fingerprint(arr, (cfg, "rule_based", rule_cfg))
+    stages = ("vegetation", "water", "builtup", "bareland")
+    files = tuple(f"mask_{s}.npy" for s in stages)
+    manifest = _open_manifest(
+        checkpoint_dir, fingerprint,
+        {"shape": [h, w], "done": []}, files)
+
+    nd = None  # the four index planes, computed lazily once per run
+    masks = {}
+    done = set(manifest["done"])
+    fresh_masks = 0
+    for stage in stages:
+        path = os.path.join(checkpoint_dir, f"mask_{stage}.npy")
+        if stage in done and os.path.exists(path):
+            masks[stage] = np.load(path)
+            continue
+        if interrupt_after is not None and fresh_masks >= interrupt_after:
+            raise TileInterrupt(f"injected fault after {fresh_masks} masks")
+        if nd is None:
+            nd = _rule_indices(jnp.asarray(arr, jnp.uint8),
+                               jnp.asarray(hists.astype(np.int32)), cfg)
+        if stage == "bareland":
+            painted = paint_rule_masks(jnp.asarray(masks["vegetation"]),
+                                       jnp.asarray(masks["water"]),
+                                       jnp.asarray(masks["builtup"]))
+            m = bare_rule_mask(painted, nd[0], nd[3], rule_cfg,
+                               cc_impl=cc_impl)
+        else:
+            m = rule_mask(stage, nd[0], nd[1], nd[2], nd[3], rule_cfg,
+                          cc_impl=cc_impl)
+        masks[stage] = np.asarray(m, np.uint8)
+        tmp = path + ".tmp.npy"
+        np.save(tmp, masks[stage])
+        os.replace(tmp, path)
+        done.add(stage)
+        manifest["done"] = sorted(done)
+        _save_manifest(checkpoint_dir, manifest)
+        fresh_masks += 1
+
+    out = paint_rule_masks(jnp.asarray(masks["vegetation"]),
+                           jnp.asarray(masks["water"]),
+                           jnp.asarray(masks["builtup"]))
+    out = jnp.where((jnp.asarray(masks["bareland"]) == 1) & (out == 0), 4,
+                    out)
+    return np.asarray(out.astype(jnp.uint8))
 
 
 def classify_large_scene_resumable(

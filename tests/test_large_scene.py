@@ -369,3 +369,92 @@ def test_rule_based_large_scene_matches_turbo(aa_scene):
     got_self = rule_based_large_scene(pre, cfg)   # recomputes histograms
     assert np.array_equal(ref, got_hist)
     assert np.array_equal(ref, got_self)
+
+
+def test_resumable_kmeans_survives_crash(rng, aa_scene, tmp_path):
+    """kmeans crash-resume bit-identity (round-4 VERDICT #4: elastic
+    resume is a framework property, not a per-method one)."""
+    import pytest
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        TileInterrupt, kmeans_large_scene, kmeans_large_scene_resumable)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252]).astype(np.uint8)
+
+    ref = kmeans_large_scene(pre, n_clusters=4, cfg=cfg, tile_rows=63)
+
+    ckpt = str(tmp_path / "km_ckpt")
+    with pytest.raises(TileInterrupt):
+        kmeans_large_scene_resumable(pre, ckpt, n_clusters=4, cfg=cfg,
+                                     tile_rows=63, interrupt_after=2)
+    import json
+    import os
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["done"]) == 2          # progress persisted
+    assert os.path.exists(os.path.join(ckpt, "kmeans_fit.npz"))
+
+    resumed = kmeans_large_scene_resumable(pre, ckpt, n_clusters=4, cfg=cfg,
+                                           tile_rows=63)
+    assert np.array_equal(resumed, ref)
+    again = kmeans_large_scene_resumable(pre, ckpt, n_clusters=4, cfg=cfg,
+                                         tile_rows=63)
+    assert np.array_equal(again, ref)
+
+
+def test_resumable_rule_based_survives_crash(rng, aa_scene, tmp_path):
+    """rule-based crash-resume bit-identity via the per-mask cursor."""
+    import pytest
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        TileInterrupt, rule_based_large_scene,
+        rule_based_large_scene_resumable)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252]).astype(np.uint8)
+
+    ref = rule_based_large_scene(pre, cfg)
+
+    ckpt = str(tmp_path / "rb_ckpt")
+    with pytest.raises(TileInterrupt):
+        rule_based_large_scene_resumable(pre, ckpt, cfg, interrupt_after=2)
+    import json
+    import os
+    with open(os.path.join(ckpt, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert len(manifest["done"]) == 2          # two masks persisted
+
+    resumed = rule_based_large_scene_resumable(pre, ckpt, cfg)
+    assert np.array_equal(resumed, ref)
+    again = rule_based_large_scene_resumable(pre, ckpt, cfg)
+    assert np.array_equal(again, ref)
+
+
+def test_resumable_kmeans_rejects_foreign_checkpoint(rng, aa_scene,
+                                                     tmp_path):
+    """A kmeans checkpoint from a different scene/params is discarded."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        kmeans_large_scene_resumable)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    scene_a = np.ascontiguousarray(pre[:, :126, :126]).astype(np.uint8)
+    scene_b = np.ascontiguousarray(pre[:, 126:252, 126:252]).astype(np.uint8)
+    ckpt = str(tmp_path / "ckpt")
+    map_a = kmeans_large_scene_resumable(scene_a, ckpt, n_clusters=3,
+                                         cfg=cfg, tile_rows=63)
+    map_b = kmeans_large_scene_resumable(scene_b, ckpt, n_clusters=3,
+                                         cfg=cfg, tile_rows=63)
+    # same dir, different scene: must NOT return scene A's map
+    assert map_b.shape == (126, 126)
+    ref_b = kmeans_large_scene_resumable(scene_b, str(tmp_path / "fresh"),
+                                         n_clusters=3, cfg=cfg, tile_rows=63)
+    assert np.array_equal(map_b, ref_b)
+    assert not np.array_equal(map_a, map_b)
