@@ -42,6 +42,13 @@ def serve_cli(argv=None) -> None:
     p.add_argument("--request-timeout", type=float, default=600.0,
                    help="per-request device timeout in seconds (504 past "
                         "it); 0 = wait forever")
+    p.add_argument("--program-cache", type=int, default=32,
+                   help="max live compiled (method, bucket, shape) device "
+                        "programs; LRU-evicted beyond this")
+    p.add_argument("--strict-shapes", action="append", default=[],
+                   metavar="HxW",
+                   help="reject scene shapes outside this allowlist "
+                        "(repeatable) instead of cold-compiling them")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -80,9 +87,15 @@ def serve_cli(argv=None) -> None:
 
     engine = InferenceEngine(
         forest, depth, method=args.method, n_clusters=args.clusters,
-        engine_cfg=EngineConfig(max_batch=args.max_batch,
-                                batch_window_ms=args.batch_window_ms,
-                                max_pending=args.max_pending))
+        engine_cfg=EngineConfig(
+            max_batch=args.max_batch,
+            batch_window_ms=args.batch_window_ms,
+            max_pending=args.max_pending,
+            program_cache=args.program_cache,
+            strict_shapes=(tuple(
+                (int(sp.partition("x")[0]), int(sp.partition("x")[2]))
+                for sp in args.strict_shapes)
+                if args.strict_shapes else None)))
     shapes = []
     for spec in args.warmup:
         h, _, w = spec.partition("x")

@@ -193,7 +193,15 @@ def _prometheus_metrics(st: dict) -> bytes:
         st["cancelled"])
     add("rejected_total", "counter", "requests rejected at max_pending",
         st["rejected"])
+    add("rejected_shape_total", "counter",
+        "requests rejected by the strict-shapes allowlist",
+        st.get("rejected_shape", 0))
     add("pending", "gauge", "scenes waiting for dispatch", st["pending"])
+    add("program_cache_size", "gauge",
+        "live compiled (method, bucket, shape) device programs",
+        st.get("program_cache_size", 0))
+    add("program_evictions_total", "counter",
+        "LRU-evicted device programs", st.get("program_evictions", 0))
     lines.append("# HELP rsseg_method_requests_total requests per method")
     lines.append("# TYPE rsseg_method_requests_total counter")
     for m, n in sorted(st.get("methods", {}).items()):

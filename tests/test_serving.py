@@ -204,16 +204,6 @@ def test_concurrent_load_all_exact(engine, forest):
 def test_kmeans_method_engine():
     """Unsupervised serving (reference stage-3 kmeans branch): engine
     results equal the direct fused program, including under batching."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    from rs_image_segmentation_tpu.core.config import CalibrationConfig
-    from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
-    from rs_image_segmentation_tpu.pipeline.turbo import kmeans_scenes_turbo
-
-    cal = CalibrationConfig()
     scenes = _scenes(2, seed=21)
     with InferenceEngine(method="kmeans", n_clusters=4, cfg=SMALL_CFG,
                          engine_cfg=EngineConfig(max_batch=2,
@@ -222,10 +212,9 @@ def test_kmeans_method_engine():
         futs = [eng.submit(s) for s in scenes]
         outs = [f.result(timeout=600) for f in futs]
     for s, o in zip(scenes, outs):
-        lut = build_stretch_lut(s, np.asarray(cal.gains),
-                                np.asarray(cal.biases)).astype(np.uint8)
-        ref = np.asarray(kmeans_scenes_turbo(
-            jnp.asarray(s), jnp.asarray(lut), n_clusters=4, cfg=SMALL_CFG))
+        # bucket-padded engine output == the unpadded batched program on
+        # that scene alone (per-scene vmap + frozen converged lanes)
+        ref = _direct_kmeans(s)
         np.testing.assert_array_equal(o, ref)
         assert set(np.unique(o)) <= set(range(1, 5))
 
@@ -265,17 +254,21 @@ def test_method_validation():
 # ------------------------------------------------- per-request method routing
 
 def _direct_kmeans(scene, n_clusters=4):
+    # the engine serves the BATCHED kmeans program (subsampled fit,
+    # EngineConfig.kmeans_fit_stride); B=1 is the per-scene reference
     import jax.numpy as jnp
 
     from rs_image_segmentation_tpu.core.config import CalibrationConfig
     from rs_image_segmentation_tpu.pipeline.preprocess import build_stretch_lut
-    from rs_image_segmentation_tpu.pipeline.turbo import kmeans_scenes_turbo
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch)
     cal = CalibrationConfig()
     lut = build_stretch_lut(scene, np.asarray(cal.gains),
                             np.asarray(cal.biases)).astype(np.uint8)
-    return np.asarray(kmeans_scenes_turbo(
-        jnp.asarray(scene), jnp.asarray(lut), n_clusters=n_clusters,
-        cfg=SMALL_CFG))
+    return np.asarray(kmeans_scenes_turbo_batch(
+        jnp.asarray(scene[None]), jnp.asarray(lut[None]),
+        n_clusters=n_clusters, cfg=SMALL_CFG,
+        fit_stride=EngineConfig().kmeans_fit_stride))[0]
 
 
 def _direct_rule(scene):
@@ -561,3 +554,43 @@ def test_http_metrics_endpoint(server, engine):
     assert "rsseg_pending" in body and "# TYPE rsseg_batches_total counter" in body
     for m, n in st.get("methods", {}).items():
         assert f'rsseg_method_requests_total{{method="{m}"}} {n}' in body
+
+
+def test_program_cache_lru_bounded():
+    """A client cycling scene shapes cannot grow the program cache (and
+    with it device program memory) without bound: LRU eviction keeps the
+    cache at EngineConfig.program_cache and counts evictions
+    (round-4 VERDICT weak #7)."""
+    rng = np.random.default_rng(31)
+    shapes = [(28 + 4 * i, 28 + 4 * i) for i in range(6)]
+    with InferenceEngine(method="rule_based", cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(max_batch=1, buckets=(1,),
+                                                 program_cache=3)) as eng:
+        for h, w in shapes:
+            scene = rng.integers(0, 256, (7, h, w)).astype(np.uint8)
+            out = eng.classify(scene, timeout=600)
+            assert out.shape == (h, w)
+        st = eng.stats()
+    assert st["program_cache_size"] <= 3
+    assert st["program_cache_limit"] == 3
+    assert st["program_evictions"] == len(shapes) - 3
+    assert len(st["warm_programs"]) <= 3
+
+
+def test_strict_shapes_allowlist():
+    """strict_shapes rejects unlisted scene shapes up front (no cold
+    compile) and counts them; listed shapes still serve."""
+    rng = np.random.default_rng(32)
+    ok_scene = rng.integers(0, 256, (7, 28, 28)).astype(np.uint8)
+    bad_scene = rng.integers(0, 256, (7, 32, 32)).astype(np.uint8)
+    with InferenceEngine(method="rule_based", cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(
+                             max_batch=1, buckets=(1,),
+                             strict_shapes=((28, 28),))) as eng:
+        out = eng.classify(ok_scene, timeout=600)
+        assert out.shape == (28, 28)
+        with pytest.raises(ValueError, match="strict-shapes"):
+            eng.classify(bad_scene, timeout=600)
+        st = eng.stats()
+    assert st["rejected_shape"] == 1
+    assert st["strict_shapes"] == [[28, 28]]
