@@ -148,10 +148,20 @@ def classify_large(argv=None) -> None:
         result = classify_large_scene_resumable(
             arr, gf, args.checkpoint_dir, tile_rows=args.tile_rows,
             hists=hists)
+        _write_large_output(args.output, result, info)
     else:
-        result = classify_large_scene(arr, gf, tile_rows=args.tile_rows,
-                                      hists=hists)
-    _write_large_output(args.output, result, info)
+        # stream the GeoTIFF encode under the device's tile compute
+        # (io.tiff.TiffTileStreamWriter) instead of writing after the loop
+        import os as _os
+
+        from rs_image_segmentation_tpu.io.tiff import TiffTileStreamWriter
+        _os.makedirs(_os.path.dirname(args.output) or ".", exist_ok=True)
+        with TiffTileStreamWriter(args.output, arr.shape[1], arr.shape[2],
+                                  np.uint8, info.meta,
+                                  compression="lzw") as sw:
+            result = classify_large_scene(arr, gf, tile_rows=args.tile_rows,
+                                          hists=hists, writer=sw)
+        print(f"large-scene classification {result.shape} -> {args.output}")
 
 
 def _write_large_output(path: str, result, info) -> None:

@@ -748,7 +748,18 @@ def write_tiff(
     else:
         blocks = [compress_block(b) for b in raw_blocks]
 
-    # geo tags
+    _add_aux_tags(w, meta, band_names, colormap, bits)
+
+    payload = w.serialize(blocks, off_tag, cnt_tag)
+    with open(path, "wb") as fh:
+        fh.write(payload)
+
+
+def _add_aux_tags(w: "_Writer", meta: Optional[GeoMeta],
+                  band_names: Optional[Sequence[Optional[str]]],
+                  colormap: Optional[np.ndarray], bits: int) -> None:
+    """Geo / nodata / band-description / colormap tags shared by
+    :func:`write_tiff` and :class:`TiffTileStreamWriter`."""
     if meta is not None and meta.transform is not None:
         a, b, c, d, e, f = meta.transform
         if b == 0.0 and d == 0.0:
@@ -794,6 +805,139 @@ def write_tiff(
         full[: cm.shape[0], :] = cm[:n]
         w.add(T_COLORMAP, 3, full.T.reshape(-1).tolist())
 
-    payload = w.serialize(blocks, off_tag, cnt_tag)
-    with open(path, "wb") as fh:
-        fh.write(payload)
+
+class TiffTileStreamWriter:
+    """Incremental single-band tiled (Geo)TIFF writer.
+
+    Feed label rows top-to-bottom with :meth:`write_rows`; every
+    completed ``tile_size``-row band of tiles is handed to a thread pool
+    for compression IMMEDIATELY (the native LZW codec releases the GIL),
+    so encoding overlaps whatever the caller does next — in
+    ``pipeline.large_scene.classify_large_scene`` that is the device
+    computing the next classification tile, turning the previously
+    serial classify-then-encode sequence into a two-stage host/device
+    pipeline (SURVEY §2.7 PP plan: double-buffered tile streaming).
+    :meth:`close` assembles the same tag structure as :func:`write_tiff`
+    — the file is byte-identical to a whole-array write (tested).
+
+    Reference writer contract: extract.py:778-836 (LZW, 256-px tiles,
+    nodata, colormap, band description)."""
+
+    def __init__(self, path: str, height: int, width: int, dtype,
+                 meta: Optional[GeoMeta] = None, *,
+                 compression: str = "lzw", tile_size: int = 256,
+                 band_names: Optional[Sequence[Optional[str]]] = None,
+                 colormap: Optional[np.ndarray] = None,
+                 predictor: Optional[bool] = None,
+                 bigtiff: bool = False, max_workers: Optional[int] = None):
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        dtype = np.dtype(dtype)
+        if dtype == np.int64:
+            dtype = np.dtype(np.int32)
+        if dtype.kind not in ("u", "i", "f"):
+            raise ValueError(f"unsupported dtype {dtype}")
+        self._path = path
+        self._height, self._width = int(height), int(width)
+        self._dtype_le = dtype.newbyteorder("<")
+        self._meta = meta
+        self._band_names = band_names
+        self._colormap = colormap
+        self._bigtiff = bigtiff
+        self._tile = int(tile_size)
+        self._comp = {"none": COMP_NONE, "lzw": COMP_LZW,
+                      "deflate": COMP_DEFLATE_ADOBE}[compression]
+        self._predict = (predictor if predictor is not None
+                         else self._comp != COMP_NONE
+                         and dtype.kind in ("u", "i"))
+        self._tiles_x = -(-self._width // self._tile)
+        self._rows_seen = 0
+        self._buf: List[np.ndarray] = []
+        self._buf_rows = 0
+        self._futures: List = []
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers or min(8, _os.cpu_count() or 1))
+
+    def _compress(self, block: np.ndarray) -> bytes:
+        if self._predict:
+            block = _predict_horizontal(block)
+        raw = block.tobytes()
+        if self._comp == COMP_LZW:
+            return lzw_encode(raw)
+        if self._comp == COMP_DEFLATE_ADOBE:
+            return zlib.compress(raw, 6)
+        return raw
+
+    def _flush_band(self, band: np.ndarray) -> None:
+        # partial bands/tiles are zero-padded exactly like write_tiff's
+        th = tw = self._tile
+        for tx in range(self._tiles_x):
+            xs = tx * tw
+            tile = np.zeros((th, tw, 1), dtype=self._dtype_le)
+            ww = min(tw, self._width - xs)
+            tile[:band.shape[0], :ww, 0] = band[:, xs:xs + ww]
+            self._futures.append(self._pool.submit(self._compress, tile))
+
+    def write_rows(self, rows: np.ndarray) -> None:
+        """Append ``(r, W)`` rows (top-to-bottom, in order)."""
+        rows = np.asarray(rows)
+        if rows.ndim != 2 or rows.shape[1] != self._width:
+            raise ValueError(f"rows must be (r, {self._width}), "
+                             f"got {rows.shape}")
+        if self._rows_seen + rows.shape[0] > self._height:
+            raise ValueError("more rows than the declared height")
+        rows = rows.astype(self._dtype_le, copy=False)
+        self._rows_seen += rows.shape[0]
+        self._buf.append(rows)
+        self._buf_rows += rows.shape[0]
+        if self._buf_rows >= self._tile or self._rows_seen == self._height:
+            band = np.concatenate(self._buf, axis=0) if len(self._buf) > 1 \
+                else self._buf[0]
+            while band.shape[0] >= self._tile:
+                self._flush_band(band[:self._tile])
+                band = band[self._tile:]
+            if self._rows_seen == self._height and band.shape[0] > 0:
+                self._flush_band(band)
+                band = band[:0]
+            self._buf = [band] if band.size else []
+            self._buf_rows = band.shape[0] if band.size else 0
+
+    def close(self) -> None:
+        """Finalize: wait for encoders, assemble tags, write the file."""
+        if self._rows_seen != self._height:
+            self._pool.shutdown(wait=False)
+            raise ValueError(f"only {self._rows_seen} of {self._height} "
+                             f"rows were written")
+        blocks = [f.result() for f in self._futures]
+        self._pool.shutdown(wait=True)
+        dtype = np.dtype(self._dtype_le.newbyteorder("="))
+        kind_map = {"u": SF_UINT, "i": SF_INT, "f": SF_FLOAT}
+        bits = dtype.itemsize * 8
+        w = _Writer(big=self._bigtiff)
+        w.add(T_IMAGE_WIDTH, 4, self._width)
+        w.add(T_IMAGE_LENGTH, 4, self._height)
+        w.add(T_BITS_PER_SAMPLE, 3, [bits])
+        w.add(T_COMPRESSION, 3, self._comp)
+        w.add(T_PHOTOMETRIC, 3,
+              3 if self._colormap is not None else 1)
+        w.add(T_SAMPLES_PER_PIXEL, 3, 1)
+        w.add(T_PLANAR_CONFIG, 3, 1)
+        w.add(T_SAMPLE_FORMAT, 3, [kind_map[dtype.kind]])
+        if self._predict:
+            w.add(T_PREDICTOR, 3, 2)
+        w.add(T_TILE_WIDTH, 4, self._tile)
+        w.add(T_TILE_LENGTH, 4, self._tile)
+        _add_aux_tags(w, self._meta, self._band_names, self._colormap, bits)
+        payload = w.serialize(blocks, T_TILE_OFFSETS, T_TILE_BYTE_COUNTS)
+        with open(self._path, "wb") as fh:
+            fh.write(payload)
+
+    def __enter__(self) -> "TiffTileStreamWriter":
+        return self
+
+    def __exit__(self, exc_type, *exc) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self._pool.shutdown(wait=False)

@@ -170,3 +170,43 @@ def test_corrupt_lzw_raises(tmp_path, rng):
         assert not np.array_equal(arr, a)
     except ValueError:
         pass  # corrupt-stream rejection is equally acceptable
+
+
+def test_tile_stream_writer_matches_write_tiff(tmp_path, rng):
+    """TiffTileStreamWriter fed arbitrary row chunks produces a file
+    byte-identical to a whole-array write_tiff (round-4 VERDICT #7:
+    streaming the LZW encode under device compute must not change the
+    artifact)."""
+    from rs_image_segmentation_tpu.core.types import GeoMeta
+    from rs_image_segmentation_tpu.io.tiff import (TiffTileStreamWriter,
+                                                   read_tiff, write_tiff)
+    h, w = 777, 513                     # non-multiples of the tile size
+    labels = rng.integers(0, 4, (h, w)).astype(np.uint8)
+    meta = GeoMeta(transform=(30.0, 0.0, 500000.0, 0.0, -30.0, 4649000.0),
+                   crs="EPSG:32650", nodata=0.0)
+    ref_path = str(tmp_path / "ref.tif")
+    write_tiff(ref_path, labels[None], meta, compression="lzw", tiled=True,
+               tile_size=256)
+    got_path = str(tmp_path / "stream.tif")
+    with TiffTileStreamWriter(got_path, h, w, labels.dtype, meta,
+                              compression="lzw", tile_size=256) as sw:
+        y = 0
+        for chunk in (100, 300, 56, 200, 121):  # uneven, sums to 777
+            sw.write_rows(labels[y:y + chunk])
+            y += chunk
+    with open(ref_path, "rb") as f1, open(got_path, "rb") as f2:
+        assert f1.read() == f2.read()
+    back, info = read_tiff(got_path)
+    assert np.array_equal(back[0], labels)
+
+
+def test_tile_stream_writer_validates(tmp_path, rng):
+    from rs_image_segmentation_tpu.io.tiff import TiffTileStreamWriter
+    sw = TiffTileStreamWriter(str(tmp_path / "x.tif"), 10, 8, np.uint8)
+    sw.write_rows(np.zeros((4, 8), np.uint8))
+    with pytest.raises(ValueError, match="rows must be"):
+        sw.write_rows(np.zeros((2, 9), np.uint8))
+    with pytest.raises(ValueError, match="more rows"):
+        sw.write_rows(np.zeros((7, 8), np.uint8))
+    with pytest.raises(ValueError, match="rows were written"):
+        sw.close()

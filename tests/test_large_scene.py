@@ -458,3 +458,38 @@ def test_resumable_kmeans_rejects_foreign_checkpoint(rng, aa_scene,
                                          n_clusters=3, cfg=cfg, tile_rows=63)
     assert np.array_equal(map_b, ref_b)
     assert not np.array_equal(map_a, map_b)
+
+
+def test_classify_large_scene_streamed_writer(rng, aa_scene, tmp_path):
+    """classify_large_scene(writer=...) streams label tiles into the
+    LZW writer as they drain; the file equals a post-hoc write_tiff of
+    the returned map byte-for-byte (round-4 VERDICT #7)."""
+    from rs_image_segmentation_tpu.core.types import GeoMeta
+    from rs_image_segmentation_tpu.io.tiff import (TiffTileStreamWriter,
+                                                   write_tiff)
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        classify_large_scene)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    pre = np.ascontiguousarray(pre[:, :252, :252]).astype(np.uint8)
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    meta = GeoMeta(transform=(30.0, 0.0, 0.0, 0.0, -30.0, 0.0),
+                   crs="EPSG:32650", nodata=0.0)
+    spath = str(tmp_path / "streamed.tif")
+    with TiffTileStreamWriter(spath, 252, 252, np.uint8, meta,
+                              compression="lzw", tile_size=64) as sw:
+        out = classify_large_scene(pre, gf, cfg, tile_rows=63, writer=sw)
+    rpath = str(tmp_path / "ref.tif")
+    write_tiff(rpath, out.astype(np.uint8)[None], meta, compression="lzw",
+               tiled=True, tile_size=64)
+    with open(spath, "rb") as f1, open(rpath, "rb") as f2:
+        assert f1.read() == f2.read()
