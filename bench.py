@@ -103,7 +103,8 @@ def main() -> None:
     from rs_image_segmentation_tpu.pipeline.features import (
         hierarchical_stack_fused)
     from rs_image_segmentation_tpu.pipeline.preprocess import (
-        build_stretch_lut, build_stretch_params, preprocess_bands)
+        build_stretch_lut, build_stretch_params, build_stretch_stats,
+        preprocess_bands)
     from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
     from rs_image_segmentation_tpu.tools.supervised import (
         train_random_forest_from_samples)
@@ -126,23 +127,28 @@ def main() -> None:
     gf = _gemm_for(forest, stack0.shape[-1])
 
     def run_batch(scenes_np):
-        # full e2e per batch: host LUT+fixed-point-params build (exact
-        # f64 stretch tables, ~0.3 ms/scene) + one H2D + ONE device
-        # program for all 8 scenes (pipeline.turbo: channel-major,
-        # sort-free, gather-free; arithmetic stretch preamble)
-        pairs = [build_stretch_params(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
-        sps = np.stack([p[1] for p in pairs])
+        # full e2e per batch: host stretch-stats build (exact f64 LUTs +
+        # fixed-point params + native-bincount stretched histograms,
+        # ~1.5 ms/scene overlapping device compute of earlier batches) +
+        # one H2D + ONE device program for all 8 scenes (pipeline.turbo:
+        # channel-major, sort-free, gather-free; arithmetic stretch
+        # preamble with NO in-kernel histogram accumulation)
+        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
+        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+        sps = np.stack([p[1] for p in stats])
+        hists = np.stack([p[2] for p in stats])
         return classify_scenes_turbo(
             jax.device_put(scenes_np), jax.device_put(luts), gf, cfg,
-            stretch_params=jax.device_put(sps))
+            stretch_params=jax.device_put(sps),
+            stretch_hists=jax.device_put(hists))
 
     def classify_one(scene_np):
-        lut, sp = build_stretch_params(scene_np, gains, biases)
+        lut, sp, hh = build_stretch_stats(scene_np, gains, biases)
         return classify_scenes_turbo(
             jax.device_put(scene_np[None]),
             jax.device_put(lut[None].astype(np.uint8)), gf, cfg,
-            stretch_params=jax.device_put(sp[None]))[0]
+            stretch_params=jax.device_put(sp[None]),
+            stretch_hists=jax.device_put(hh[None]))[0]
 
     def sync(o):
         # On this environment's remote device tunnel, block_until_ready
@@ -196,12 +202,14 @@ def main() -> None:
     # bandwidth; on hardware-attached HBM the H2D of 2.5 MB/scene is
     # microseconds, so this is the deployment-relevant throughput
     batch_d = jax.device_put(batches[0])
-    pairs0 = [build_stretch_params(s, gains, biases) for s in batches[0]]
-    luts_d = jax.device_put(np.stack([p[0] for p in pairs0]
+    stats0 = [build_stretch_stats(s, gains, biases) for s in batches[0]]
+    luts_d = jax.device_put(np.stack([p[0] for p in stats0]
                                      ).astype(np.uint8))
-    sps0 = jax.device_put(np.stack([p[1] for p in pairs0]))
+    sps0 = jax.device_put(np.stack([p[1] for p in stats0]))
+    hists0 = jax.device_put(np.stack([p[2] for p in stats0]))
     run_resident = lambda: classify_scenes_turbo(batch_d, luts_d, gf, cfg,
-                                                 stretch_params=sps0)
+                                                 stretch_params=sps0,
+                                                 stretch_hists=hists0)
     out_r = run_resident()
     sync(out_r)
     rtts = []

@@ -59,12 +59,31 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.predictor_apply.restype = None
     lib.predictor_apply.argtypes = [ctypes.c_void_p, ctypes.c_long,
                                     ctypes.c_long, ctypes.c_long, ctypes.c_int]
+    if hasattr(lib, "hist_u8"):   # older prebuilt .so may lack it
+        lib.hist_u8.restype = None
+        lib.hist_u8.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def hist_u8(arr: np.ndarray) -> Optional[np.ndarray]:
+    """Exact 256-bin histogram of a contiguous uint8 array (int64
+    counts); ~7x numpy.bincount on this host. None if the native lib is
+    unavailable (callers fall back to np.bincount)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hist_u8"):
+        return None
+    a = np.ascontiguousarray(arr.reshape(-1))
+    if a.dtype != np.uint8:
+        raise ValueError(f"hist_u8 wants uint8, got {a.dtype}")
+    out = np.zeros(256, dtype=np.int64)
+    lib.hist_u8(a.ctypes.data, a.size, out.ctypes.data)
+    return out
 
 
 def lzw_decode(data: bytes, expected_size: int) -> Optional[bytes]:

@@ -316,8 +316,8 @@ def _lut_hist_kernel(dt, out_dt, t_ref, px_ref, out_ref, hist_ref):
         hist_ref[0] += counts
 
 
-def _lut_hist_mixed_kernel(dt, out_dt, k_fix, sp_ref, t_ref, px_ref,
-                           out_ref, hist_ref):
+def _lut_hist_mixed_kernel(dt, out_dt, k_fix, with_hist, sp_ref, t_ref,
+                           px_ref, *refs):
     """Per-band-routed variant of :func:`_lut_hist_kernel`: bands whose
     stretch admits a host-verified int32 fixed-point affine
     (``pipeline.preprocess.build_stretch_params``, mode=1) compute the
@@ -326,14 +326,21 @@ def _lut_hist_mixed_kernel(dt, out_dt, k_fix, sp_ref, t_ref, px_ref,
     rounding staircase is irregular, and near-constant bands) keep the
     bilinear one-hot table dot. Measured 8.57 -> 1.4 ms on the 8-scene
     preamble when every band fits; bit-exact for every DN present in
-    the scene (the LUT contract). The raw-DN joint-count histogram path
-    is unchanged and shares the one-hot planes with the table branch."""
+    the scene (the LUT contract). With ``with_hist`` the raw-DN
+    joint-count histogram shares the one-hot planes with the table
+    branch; WITHOUT it (the host precomputed the stretched histogram —
+    pipeline.preprocess.build_stretch_stats) arithmetic-routed bands
+    skip the one-hot planes entirely, which is most of the remaining
+    preamble cost (measured 5.2 -> 2.6 ms on the 8-scene batch)."""
+    out_ref = refs[0]
+    hist_ref = refs[1] if with_hist else None
     x = px_ref[0].astype(jnp.int32)                         # (BLKR, 128)
     hi = x >> 4
     lo = x & 15
     iota = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 16, 128), 1)
-    a = (hi[:, None, :] == iota).astype(dt)                 # (BLKR,16,128)
-    b = (lo[:, None, :] == iota).astype(dt)
+    if with_hist:
+        a = (hi[:, None, :] == iota).astype(dt)             # (BLKR,16,128)
+        b = (lo[:, None, :] == iota).astype(dt)
     # sp rides whole in SMEM (per-band blocks would violate the TPU
     # block-shape rules); the band index is the grid's first dimension
     band = pl.program_id(0)
@@ -356,14 +363,18 @@ def _lut_hist_mixed_kernel(dt, out_dt, k_fix, sp_ref, t_ref, px_ref,
 
     @pl.when(sp_ref[band, 0] != 1)
     def _table():
+        aa = a if with_hist else (hi[:, None, :] == iota).astype(dt)
+        bb = b if with_hist else (lo[:, None, :] == iota).astype(dt)
         t = t_ref[0, :16, :16]                              # (16h, 16l) f32
-        u = jax.lax.dot_general(t.astype(dt), a,
+        u = jax.lax.dot_general(t.astype(dt), aa,
                                 (((0,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        val = jnp.sum(jnp.moveaxis(u, 0, 1) * b.astype(jnp.float32),
+        val = jnp.sum(jnp.moveaxis(u, 0, 1) * bb.astype(jnp.float32),
                       axis=1)                               # (BLKR, 128)
         out_ref[0] = cast_out(val)
 
+    if not with_hist:
+        return
     j = jnp.sum(jax.lax.dot_general(a, b, (((2,), (2,)), ((0,), (0,))),
                                     preferred_element_type=jnp.float32),
                 axis=0)                                     # (16h, 16l)
@@ -379,10 +390,12 @@ def _lut_hist_mixed_kernel(dt, out_dt, k_fix, sp_ref, t_ref, px_ref,
         hist_ref[0] += counts
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_u8"))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_u8",
+                                             "skip_hist"))
 def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
                     interpret: bool = False, out_u8: bool = False,
-                    sp: "jnp.ndarray | None" = None):
+                    sp: "jnp.ndarray | None" = None,
+                    skip_hist: bool = False):
     """(C, H, W) uint8 scene + (C, 256) uint8 LUT ->
     (stretched (C, H, W) holding exact uint8 levels,
      stretched-value histogram (C, 256) int32).
@@ -401,7 +414,12 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
     ``sp``: optional (C, 3 + 2*STRETCH_FIXUPS) int32 per-band stretch
     routing (``pipeline.preprocess.build_stretch_params``) — bands with
     mode=1 take the ~6x-faster arithmetic path, the rest the table path
-    (bit-exact for the scene's DNs either way)."""
+    (bit-exact for the scene's DNs either way).
+
+    ``skip_hist=True`` (requires ``sp``) returns the stretched scene
+    ONLY — for callers holding a host-precomputed stretched-value
+    histogram (``build_stretch_stats``); arithmetic-routed bands then
+    skip the one-hot planes entirely."""
     c, h, w = scene_u8.shape
     n = h * w
     # per-step fixed overhead is ~20-30 us; small scenes keep blocks small
@@ -436,9 +454,10 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
     )
     if sp is not None:
         k_fix = (sp.shape[1] - 3) // 2
-        stretched_p, hist_t = pl.pallas_call(
-            functools.partial(_lut_hist_mixed_kernel, dt, out_dt, k_fix),
-            out_shape=out_shapes,
+        res = pl.pallas_call(
+            functools.partial(_lut_hist_mixed_kernel, dt, out_dt, k_fix,
+                              not skip_hist),
+            out_shape=(out_shapes[0] if skip_hist else out_shapes),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((c, sp.shape[1]), lambda b, i: (0, 0),
@@ -446,9 +465,14 @@ def lut_hist_pallas(scene_u8: jnp.ndarray, lut_u8: jnp.ndarray,
                 pl.BlockSpec((1, 16, 128), lambda b, i: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ] + data_specs,
-            out_specs=out_specs,
+            out_specs=(out_specs[0] if skip_hist else out_specs),
             interpret=interpret,
         )(sp.astype(jnp.int32), lut_t, px)
+        if skip_hist:
+            return res.reshape(c, -1)[:, :n].reshape(c, h, w)
+        stretched_p, hist_t = res
+    elif skip_hist:
+        raise ValueError("skip_hist requires sp (the mixed kernel)")
     else:
         stretched_p, hist_t = pl.pallas_call(
             functools.partial(_lut_hist_kernel, dt, out_dt),

@@ -152,6 +152,33 @@ def build_stretch_params(arr_u8: np.ndarray, gains, biases):
     return lut, params
 
 
+def build_stretch_stats(arr_u8: np.ndarray, gains, biases):
+    """``(lut, params, hist_stretched)``: :func:`build_stretch_params`
+    plus the EXACT (C, 256) int32 histogram of the stretched scene,
+    computed on host as the raw-DN bincount pushed through the LUT
+    (hist_stretched[v] = sum of hist_raw over {dn : lut[dn] == v} —
+    identical to histogramming the stretched image, since the LUT is a
+    per-DN function).
+
+    Precomputing this lets the device preamble skip histogram
+    accumulation entirely (ops.pallas_kernels.lut_hist_pallas
+    ``skip_hist``): the ~1 ms/scene of host bincount overlaps device
+    compute in the streaming protocol, while the device program drops
+    the one-hot joint-count planes for every arithmetic-routed band —
+    measured 19.5 -> 17.0 ms on the 8-scene turbo batch."""
+    from rs_image_segmentation_tpu.io import native as _native
+
+    lut, params = build_stretch_params(arr_u8, gains, biases)
+    c = arr_u8.shape[0]
+    hist = np.zeros((c, 256), np.int64)
+    for i in range(c):
+        hist_raw = _native.hist_u8(arr_u8[i])
+        if hist_raw is None:
+            hist_raw = np.bincount(arr_u8[i].reshape(-1), minlength=256)
+        np.add.at(hist[i], lut[i].astype(np.int64), hist_raw)
+    return lut, params, hist.astype(np.int32)
+
+
 @jax.jit
 def preprocess_bands_device_lut(bands_u8: jnp.ndarray,
                                 calv: jnp.ndarray) -> jnp.ndarray:

@@ -140,20 +140,29 @@ def percentiles_from_counts(counts: jnp.ndarray, values: jnp.ndarray,
 # ------------------------------------------------------- feature stack
 
 def _preamble(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
-              sp=None):
+              sp=None, hist=None):
     """Stretch LUT + histogram. On TPU this is ONE fused Pallas pass over
     the scene (ops.pallas_kernels.lut_hist_pallas — the one-hot feeding
     the exact LUT matmul yields the histogram for free, bit-identical and
     measured 1.7x the two-pass XLA lowering); elsewhere the XLA pair.
     ``sp``: optional fixed-point stretch params
     (``pipeline.preprocess.build_stretch_params``) — the arithmetic
-    kernel variant, ~6x faster, bit-exact for the scene's DNs."""
+    kernel variant, ~6x faster, bit-exact for the scene's DNs.
+    ``hist``: optional host-precomputed (C, 256) int32 stretched-value
+    histogram (``build_stretch_stats``, exact) — the kernel then skips
+    histogram accumulation, and arithmetic-routed bands skip their
+    one-hot planes (the bulk of the remaining preamble cost)."""
     if jax.default_backend() == "tpu":
         from rs_image_segmentation_tpu.ops.pallas_kernels import (
             lut_hist_pallas)
+        if hist is not None and sp is not None:
+            st = lut_hist_pallas(scene_u8, stretch_lut_u8, sp=sp,
+                                 skip_hist=True)
+            return st, hist
         return lut_hist_pallas(scene_u8, stretch_lut_u8, sp=sp)
     st = apply_u8_lut_mxu(scene_u8, stretch_lut_u8)
-    return st.astype(jnp.float32), histogram256(st)
+    return st.astype(jnp.float32), (histogram256(st) if hist is None
+                                    else hist)
 
 
 def _stack_cm_from_stretched(stretched_u8: jnp.ndarray,
@@ -306,7 +315,8 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
                           gf: GemmForest,
                           cfg: FeatureStageConfig = FeatureStageConfig(),
                           chunk: int = 32768,
-                          stretch_params=None) -> jnp.ndarray:
+                          stretch_params=None,
+                          stretch_hists=None) -> jnp.ndarray:
     """ONE device program: (B, 7, H, W) raw uint8 scenes + (B, 7, 256)
     stretch LUTs -> (B, H, W) uint8 class maps. Preprocess, 19-channel
     feature extraction, and forest inference fused, channel-major
@@ -314,11 +324,14 @@ def classify_scenes_turbo(scenes_u8: jnp.ndarray, stretch_luts_u8: jnp.ndarray,
     concrete forest (None under an outer trace) and dispatches to the
     jitted program. ``stretch_params``: optional (B, 7, 2+2K) int32
     fixed-point stretch params (build_stretch_params) for the ~6x
-    faster arithmetic preamble."""
+    faster arithmetic preamble. ``stretch_hists``: optional (B, 7, 256)
+    int32 host-precomputed stretched-value histograms
+    (build_stretch_stats) — drops in-kernel histogram accumulation
+    (19.5 -> 17.0 ms on the 8-scene batch, bit-identical outputs)."""
     from rs_image_segmentation_tpu.models.forest import forest_tree_plan
     return _classify_scenes_turbo(scenes_u8, stretch_luts_u8, gf, cfg,
                                   chunk, forest_tree_plan(gf),
-                                  stretch_params)
+                                  stretch_params, stretch_hists)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "plan"))
@@ -327,9 +340,15 @@ def _classify_scenes_turbo(scenes_u8: jnp.ndarray,
                            gf: GemmForest,
                            cfg: FeatureStageConfig = FeatureStageConfig(),
                            chunk: int = 32768, plan=None,
-                           stretch_params=None) -> jnp.ndarray:
+                           stretch_params=None,
+                           stretch_hists=None) -> jnp.ndarray:
     b, c, h, w = scenes_u8.shape
-    if stretch_params is not None:
+    if stretch_params is not None and stretch_hists is not None:
+        stacks = jax.vmap(
+            lambda s, l, p, hh: _stack_cm_from_parts(
+                *_preamble(s, l, p, hh), cfg)
+        )(scenes_u8, stretch_luts_u8, stretch_params, stretch_hists)
+    elif stretch_params is not None:
         stacks = jax.vmap(
             lambda s, l, p: _stack_cm_from_parts(*_preamble(s, l, p), cfg)
         )(scenes_u8, stretch_luts_u8, stretch_params)       # (B, 19, H, W)

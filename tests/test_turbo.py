@@ -261,3 +261,36 @@ def test_kmeans_scenes_turbo_batch(rng, aa_scene):
     assert got.min() >= 1 and got.max() <= 5
     assert len(np.unique(got[0])) >= 3
     assert np.array_equal(got[0], got[1])
+
+
+def test_host_stretch_stats_bit_exact(rng, aa_scene):
+    """build_stretch_stats' host histogram (native bincount pushed
+    through the LUT) equals the device-accumulated stretched-value
+    histogram, and the hist-skipping turbo program returns bit-identical
+    class maps (round-4: the preamble drops in-kernel histogramming)."""
+    from rs_image_segmentation_tpu.io import native as _native
+    from rs_image_segmentation_tpu.ops.pallas_kernels import lut_hist_pallas
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_stats)
+    arr, _ = aa_scene
+    arr = np.ascontiguousarray(arr[:, :120, :136])
+    cal = CalibrationConfig()
+    lut, sp, hist = build_stretch_stats(arr, np.asarray(cal.gains),
+                                        np.asarray(cal.biases))
+    # native bincount == numpy bincount
+    if _native.available():
+        for i in range(arr.shape[0]):
+            got = _native.hist_u8(arr[i])
+            want = np.bincount(arr[i].reshape(-1), minlength=256)
+            assert np.array_equal(got, want)
+    # host stretched hist == device kernel hist
+    st_d, hist_d = lut_hist_pallas(jnp.asarray(arr),
+                                   jnp.asarray(lut.astype(np.uint8)),
+                                   interpret=True, sp=jnp.asarray(sp))
+    assert np.array_equal(np.asarray(hist_d), hist)
+    # skip-hist stretched output identical
+    st_s = lut_hist_pallas(jnp.asarray(arr),
+                           jnp.asarray(lut.astype(np.uint8)),
+                           interpret=True, sp=jnp.asarray(sp),
+                           skip_hist=True)
+    assert np.array_equal(np.asarray(st_s), np.asarray(st_d))
