@@ -496,6 +496,13 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     (ops.components.remove_small_components_batch: one gated Pallas
     propagation + two one-hot MXU contractions per stage).
 
+    Sizing note: the min-area machinery caps component ids at 32768 per
+    mask (remove_small_components_batch's ``bins``; the bundled scene's
+    noisiest mask has ~15.4k row-runs). That fits the stage-3 scene
+    class this program serves (reference scenes are 600^2); arbitrarily
+    large rasters go through pipeline.large_scene.rule_based_large_scene,
+    whose whole-image post-processing has no id cap.
+
     Reference: scripts/3_classification.py:335-375, extract.py:299-505.
     """
     from rs_image_segmentation_tpu.core.config import RuleBasedConfig
