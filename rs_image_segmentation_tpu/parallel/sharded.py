@@ -123,3 +123,53 @@ def sharded_forest_predict(forest: FlatForest, x: jnp.ndarray, depth: int,
         return forest_predict(forest, xs, depth, chunk)
 
     return run(xp)[:n]
+
+
+# ------------------------------------- DP for the batch-coupled programs
+
+def sharded_method_batch(scenes: jnp.ndarray, luts: jnp.ndarray, mesh: Mesh,
+                         method: str = "rule_based",
+                         cfg: FeatureStageConfig = FeatureStageConfig(),
+                         axis_name: str = "data", **kw) -> jnp.ndarray:
+    """Scene-parallel execution of the BATCH-COUPLED round-4 programs.
+
+    ``rule_based_scenes_turbo_batch`` and ``kmeans_scenes_turbo_batch``
+    are deliberately batch-coupled on one chip (all of a batch's masks
+    stack into one tall image for the gated CC/min-area machinery; the
+    kmeans fits vmap over the batch), so plain jit auto-partitioning
+    would gather the batch to one device. The multi-chip form is
+    ``shard_map`` over the scene axis: each chip runs the full batch
+    program on ITS sub-batch — zero collectives, and per-scene results
+    are bit-identical to a single-device run because every per-scene
+    quantity already is (rule: exact by construction, tested; kmeans:
+    per-scene fits with frozen converged lanes).
+
+    scenes: (S, 7, H, W) uint8 with S divisible by the mesh axis size;
+    luts: (S, 7, 256) uint8. ``kw`` forwards to the method's program
+    (e.g. n_clusters / fit_stride for kmeans)."""
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch, rule_based_scenes_turbo_batch)
+
+    n = mesh.shape[axis_name]
+    if scenes.shape[0] % n:
+        raise ValueError(f"scene count {scenes.shape[0]} must divide "
+                         f"evenly into {n} shards")
+    if method == "rule_based":
+        fn = lambda s, l: rule_based_scenes_turbo_batch(s, l, cfg, **kw)
+    elif method == "kmeans":
+        fn = lambda s, l: kmeans_scenes_turbo_batch(s, l, cfg=cfg, **kw)
+    else:
+        raise ValueError(f"unsupported method {method!r}")
+
+    spec = P(axis_name, None, None, None)
+    # check_vma=False: the programs' internal while_loops initialize
+    # carries from replicated constants (converged flags, iteration
+    # counters) while the bodies compute varying values — sound here
+    # because every computation is shard-local (no collectives)
+    run = jax.shard_map(lambda s, l: fn(s, l), mesh=mesh,
+                        in_specs=(spec, P(axis_name, None, None)),
+                        out_specs=P(axis_name, None, None),
+                        check_vma=False)
+    scenes = jax.device_put(scenes, NamedSharding(mesh, spec))
+    luts = jax.device_put(luts, NamedSharding(mesh, P(axis_name, None, None)))
+    return run(scenes, luts)

@@ -185,3 +185,36 @@ def test_composed_2d_mesh_scenes_by_tiles(rng):
     out = np.asarray(run(dev))
     ref = np.asarray(box_filter(scenes, 5))
     assert np.abs(out - ref).max() < 1e-5
+
+
+def test_sharded_method_batch_rule_and_kmeans(mesh, rng):
+    """shard_map'd batch-coupled programs (round 4): per-scene results
+    bit-identical to the single-device batch run for both methods."""
+    from rs_image_segmentation_tpu.core.config import (CalibrationConfig,
+                                                       FeatureStageConfig,
+                                                       GLCMConfig)
+    from rs_image_segmentation_tpu.parallel.sharded import (
+        sharded_method_batch)
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_lut)
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch, rule_based_scenes_turbo_batch)
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig(glcm=GLCMConfig(window_size=8, step_size=8,
+                                             levels=8))
+    n = 8
+    scenes = rng.integers(0, 256, (n, 7, 24, 32)).astype(np.uint8)
+    luts = np.stack([build_stretch_lut(s, np.asarray(cal.gains),
+                                       np.asarray(cal.biases))
+                     for s in scenes]).astype(np.uint8)
+    sd, ld = jnp.asarray(scenes), jnp.asarray(luts)
+
+    got = np.asarray(sharded_method_batch(sd, ld, mesh, "rule_based", cfg))
+    ref = np.asarray(rule_based_scenes_turbo_batch(sd, ld, cfg))
+    assert np.array_equal(got, ref)
+
+    got = np.asarray(sharded_method_batch(sd, ld, mesh, "kmeans", cfg,
+                                          n_clusters=3, fit_stride=2))
+    ref = np.asarray(kmeans_scenes_turbo_batch(sd, ld, n_clusters=3,
+                                               cfg=cfg, fit_stride=2))
+    assert np.array_equal(got, ref)
