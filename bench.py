@@ -103,7 +103,7 @@ def main() -> None:
     from rs_image_segmentation_tpu.pipeline.features import (
         hierarchical_stack_fused)
     from rs_image_segmentation_tpu.pipeline.preprocess import (
-        build_stretch_lut, build_stretch_params, build_stretch_stats,
+        build_stretch_lut, build_stretch_stats,
         preprocess_bands)
     from rs_image_segmentation_tpu.pipeline.turbo import classify_scenes_turbo
     from rs_image_segmentation_tpu.tools.supervised import (
@@ -246,12 +246,14 @@ def main() -> None:
         rule_based_scenes_turbo, rule_based_scenes_turbo_batch)
 
     def run_km_batch(scenes_np):
-        pairs = [build_stretch_params(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
-        sps = np.stack([p[1] for p in pairs])
+        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
+        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+        sps = np.stack([p[1] for p in stats])
+        hists = np.stack([p[2] for p in stats])
         return kmeans_scenes_turbo_batch(
             jax.device_put(scenes_np), jax.device_put(luts), n_clusters=7,
-            cfg=cfg, stretch_params=jax.device_put(sps))
+            cfg=cfg, stretch_params=jax.device_put(sps),
+            stretch_hists=jax.device_put(hists))
 
     km_out = run_km_batch(batches[0])
     sync(km_out)
@@ -281,12 +283,14 @@ def main() -> None:
 
     # --- rule_based: sustained batched stream + agreement gate --------------
     def run_rb_batch(scenes_np):
-        pairs = [build_stretch_params(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
-        sps = np.stack([p[1] for p in pairs])
+        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
+        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+        sps = np.stack([p[1] for p in stats])
+        hists = np.stack([p[2] for p in stats])
         return rule_based_scenes_turbo_batch(
             jax.device_put(scenes_np), jax.device_put(luts), cfg,
-            stretch_params=jax.device_put(sps))
+            stretch_params=jax.device_put(sps),
+            stretch_hists=jax.device_put(hists))
 
     rb_out = run_rb_batch(batches[0])
     sync(rb_out)

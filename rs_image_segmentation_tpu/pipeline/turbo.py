@@ -407,7 +407,8 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                               n_clusters: int = 7,
                               cfg: FeatureStageConfig = FeatureStageConfig(),
                               seed: int = 42, fit_stride: int = 8,
-                              stretch_params=None) -> jnp.ndarray:
+                              stretch_params=None,
+                              stretch_hists=None) -> jnp.ndarray:
     """Batched unsupervised classification: (B, 7, H, W) raw uint8
     scenes -> (B, H, W) 1-based cluster maps in ONE device program.
 
@@ -424,11 +425,20 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
 
     Fits stay per-scene (reference 3_classification.py:377-400 clusters
     each scene independently); cluster ids remain seed-dependent and are
-    absorbed by evaluation's cluster->class majority mapping."""
+    absorbed by evaluation's cluster->class majority mapping.
+
+    ``stretch_params`` / ``stretch_hists``: the same fixed-point routing
+    + host-precomputed stretched-histogram fast paths as
+    :func:`classify_scenes_turbo` (bit-identical outputs, tested)."""
     from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
 
     b, c, h, w = scenes_u8.shape
-    if stretch_params is not None:
+    if stretch_params is not None and stretch_hists is not None:
+        stacks = jax.vmap(
+            lambda s, l, p, hh: _stack_cm_from_parts(
+                *_preamble(s, l, p, hh), cfg)
+        )(scenes_u8, stretch_luts_u8, stretch_params, stretch_hists)
+    elif stretch_params is not None:
         stacks = jax.vmap(
             lambda s, l, p: _stack_cm_from_parts(*_preamble(s, l, p), cfg)
         )(scenes_u8, stretch_luts_u8, stretch_params)
@@ -455,16 +465,18 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     return (labels.reshape(b, h, w) + 1).astype(jnp.uint8)
 
 
-def _rule_front(scene_u8, stretch_lut_u8, cfg, sp=None):
+def _rule_front(scene_u8, stretch_lut_u8, cfg, sp=None, hist_in=None):
     """Preamble + robust-normalize + the four rule indices for one scene
-    (reference 3_classification.py:335-375 never touches PCA/texture)."""
+    (reference 3_classification.py:335-375 never touches PCA/texture).
+    ``hist_in``: optional host-precomputed stretched histogram
+    (build_stretch_stats) — the preamble then skips accumulation."""
     from rs_image_segmentation_tpu.ops.indices import mndwi as mndwi_fn
     from rs_image_segmentation_tpu.ops.indices import ndbi as ndbi_fn
     from rs_image_segmentation_tpu.ops.indices import ndvi as ndvi_fn
     from rs_image_segmentation_tpu.ops.indices import ndwi as ndwi_fn
 
     c, h, w = scene_u8.shape
-    stretched, hist = _preamble(scene_u8, stretch_lut_u8, sp)
+    stretched, hist = _preamble(scene_u8, stretch_lut_u8, sp, hist_in)
     n = h * w
     vals = jnp.broadcast_to(jnp.arange(256, dtype=jnp.float32), (c, 256))
     p = percentiles_from_counts(hist, vals,
@@ -482,7 +494,8 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                                   stretch_luts_u8: jnp.ndarray,
                                   cfg: FeatureStageConfig = FeatureStageConfig(),
                                   rule_cfg=None,
-                                  stretch_params=None) -> jnp.ndarray:
+                                  stretch_params=None,
+                                  stretch_hists=None) -> jnp.ndarray:
     """Batched rule-based classification: (B, 7, H, W) raw uint8 scenes +
     (B, 7, 256) stretch LUTs -> (B, H, W) uint8 labels in ONE device
     program, bit-identical per scene to the standard rule graph
@@ -514,7 +527,10 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     rc = rule_cfg if rule_cfg is not None else RuleBasedConfig()
     b, c, h, w = scenes_u8.shape
     area = h * w
-    if stretch_params is not None:
+    if stretch_params is not None and stretch_hists is not None:
+        nd = jax.vmap(lambda s, l, p, hh: _rule_front(s, l, cfg, p, hh))(
+            scenes_u8, stretch_luts_u8, stretch_params, stretch_hists)
+    elif stretch_params is not None:
         nd = jax.vmap(lambda s, l, p: _rule_front(s, l, cfg, p))(
             scenes_u8, stretch_luts_u8, stretch_params)
     else:

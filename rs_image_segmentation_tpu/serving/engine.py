@@ -439,7 +439,7 @@ class InferenceEngine:
         import jax.numpy as jnp
 
         from rs_image_segmentation_tpu.pipeline.preprocess import (
-            build_stretch_lut, build_stretch_params)
+            build_stretch_stats)
 
         method = method if method is not None else self._method
         n = len(scenes)
@@ -458,12 +458,14 @@ class InferenceEngine:
         batch = np.stack(padded)
         # per-band fixed-point stretch routing sends fitted bands to the
         # ~6x-faster arithmetic preamble path (bit-exact either way;
-        # unfittable bands keep the table path in-kernel) — all three
-        # batched programs take stretch_params
-        pairs = [build_stretch_params(s, self._gains, self._biases)
+        # unfittable bands keep the table path in-kernel), and the host
+        # stretched-value histogram lets the preamble skip accumulation —
+        # all three batched programs take (stretch_params, stretch_hists)
+        stats = [build_stretch_stats(s, self._gains, self._biases)
                  for s in padded]
-        luts = np.stack([p[0] for p in pairs]).astype(np.uint8)
-        sps = np.stack([p[1] for p in pairs])
+        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+        sps = np.stack([p[1] for p in stats])
+        hists = np.stack([p[2] for p in stats])
         with self._lock:
             if record_stats:
                 self._stats["batches"] += 1
@@ -474,7 +476,7 @@ class InferenceEngine:
         else:
             run = self._program_for(method, b, batch.shape[1:])
             maps = run(jnp.asarray(batch), jnp.asarray(luts),
-                       jnp.asarray(sps))
+                       jnp.asarray(sps), jnp.asarray(hists))
         out = np.asarray(maps)[:n]
         return [out[i] for i in range(n)]
 
@@ -503,8 +505,8 @@ class InferenceEngine:
 
     def _build_program(self, method: str):
         """The batched fused program for ``method`` as a plain
-        (batch, luts, stretch_params) callable (jitted per cache key by
-        :meth:`_program_for`)."""
+        (batch, luts, stretch_params, stretch_hists) callable (jitted per
+        cache key by :meth:`_program_for`)."""
         cfg = self._cfg
         if method == "random_forest":
             from rs_image_segmentation_tpu.models.forest import (
@@ -517,26 +519,29 @@ class InferenceEngine:
             # closure arrays are tracers
             plan = forest_tree_plan(gf)
 
-            def run(bd, ld, sd):
+            def run(bd, ld, sd, hd):
                 return _classify_scenes_turbo(bd, ld, gf, cfg, plan=plan,
-                                              stretch_params=sd)
+                                              stretch_params=sd,
+                                              stretch_hists=hd)
         elif method == "kmeans":
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 kmeans_scenes_turbo_batch)
             k, seed = self._n_clusters, self._kmeans_seed
             stride = self._ecfg.kmeans_fit_stride
 
-            def run(bd, ld, sd):
+            def run(bd, ld, sd, hd):
                 return kmeans_scenes_turbo_batch(
                     bd, ld, n_clusters=k, cfg=cfg, seed=seed,
-                    fit_stride=stride, stretch_params=sd)
+                    fit_stride=stride, stretch_params=sd,
+                    stretch_hists=hd)
         else:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 rule_based_scenes_turbo_batch)
 
-            def run(bd, ld, sd):
+            def run(bd, ld, sd, hd):
                 return rule_based_scenes_turbo_batch(bd, ld, cfg,
-                                                     stretch_params=sd)
+                                                     stretch_params=sd,
+                                                     stretch_hists=hd)
         return run
 
     def _fallback_batch(self, batch: np.ndarray, luts: np.ndarray):

@@ -294,3 +294,38 @@ def test_host_stretch_stats_bit_exact(rng, aa_scene):
                            interpret=True, sp=jnp.asarray(sp),
                            skip_hist=True)
     assert np.array_equal(np.asarray(st_s), np.asarray(st_d))
+
+
+def test_method_batches_host_hist_bit_identical(rng, aa_scene):
+    """The kmeans/rule batched programs with host-precomputed stretched
+    histograms (build_stretch_stats -> stretch_hists) return maps
+    bit-identical to the in-kernel-histogram path (round 4: the same
+    skip-hist fast path classify_scenes_turbo already had)."""
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_stats)
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch, rule_based_scenes_turbo_batch)
+    arr, _ = aa_scene
+    a0 = np.ascontiguousarray(arr[:, :180, :200])
+    a1 = np.ascontiguousarray(arr[:, 300:480, 200:400])
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    batch = np.stack([a0, a1])
+    stats = [build_stretch_stats(s, gains, biases) for s in batch]
+    luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+    sps = np.stack([p[1] for p in stats])
+    hists = np.stack([p[2] for p in stats])
+
+    rb_plain = np.asarray(rule_based_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts)))
+    rb_hist = np.asarray(rule_based_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts),
+        stretch_params=jnp.asarray(sps), stretch_hists=jnp.asarray(hists)))
+    assert np.array_equal(rb_plain, rb_hist)
+
+    km_plain = np.asarray(kmeans_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts), n_clusters=5, fit_stride=4))
+    km_hist = np.asarray(kmeans_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts), n_clusters=5, fit_stride=4,
+        stretch_params=jnp.asarray(sps), stretch_hists=jnp.asarray(hists)))
+    assert np.array_equal(km_plain, km_hist)
