@@ -11,7 +11,13 @@ reference stage-3 method branches (3_classification.py:335-485), plus a
     GLCM/LBP/entropy -> random-forest GEMM over every pixel), several
     batches in flight so transfers, host LUT prep, and device compute
     overlap. Best of THREE stream repetitions insulates the recorded
-    figure from single tunnel stalls.
+    figure from single tunnel stalls. The bench also measures the
+    tunnel's own H2D line rate for the exact batch payload and records
+    it (h2d_line_rate_mb_per_s / tunnel_cap_mp_per_s /
+    stream_h2d_efficiency): the stream runs at ~96-100% of line rate,
+    so the recorded sustained figure IS the environment's transfer cap
+    (~61 MB/s = 8.7 MP/s on 2026-08-19; device compute is 2.27 ms/scene
+    = 158 MP/s), and run-to-run movement in it is tunnel state.
   * rule_based / kmeans: the same sustained 8-scene-batch protocol over
     the fused batched programs (pipeline.turbo.rule_based_scenes_turbo_
     batch / kmeans_scenes_turbo_batch) -> *_sustained_mp_per_s fields.
@@ -168,6 +174,21 @@ def main() -> None:
     sync(out)
     sync(classify_one(arr))
 
+    # --- tunnel H2D line rate ----------------------------------------------
+    # The sustained streams below ship 2.52 MB of raw uint8 per scene over
+    # this environment's remote-device tunnel; measure the tunnel's own
+    # transfer rate for the exact batch payload so the recorded figure can
+    # be read against the physical cap (stream_h2d_efficiency ~= 1.0 means
+    # the stream is at line rate and any run-to-run delta is tunnel state,
+    # not code). Measured 2026-08-19: ~61 MB/s -> 8.7 MP/s hard cap.
+    batch_bytes = batches[0].nbytes
+    put_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(jax.device_put(batches[0]))
+        put_ts.append(time.perf_counter() - t0)
+    line_rate = batch_bytes / min(put_ts)                   # bytes/s
+
     # --- sustained stream: all ROUNDS batches in flight -------------------
     # (best of STREAMS repetitions — guards the recorded figure against a
     # tunnel stall hitting one stream)
@@ -180,6 +201,7 @@ def main() -> None:
         stream_times.append(time.perf_counter() - t0)
     dt_stream = min(stream_times)
     sustained = ROUNDS * BATCH * mp / dt_stream
+    stream_h2d_eff = (ROUNDS * batch_bytes / dt_stream) / line_rate
 
     # --- per-batch blocking rounds (min + median) -------------------------
     times = []
@@ -361,6 +383,9 @@ def main() -> None:
         "unit": "MP/s",
         "vs_baseline": round(sustained / BASELINE_MP_PER_S, 2),
         "seconds_per_scene_sustained": round(dt_stream / (ROUNDS * BATCH), 5),
+        "h2d_line_rate_mb_per_s": round(line_rate / 1e6, 1),
+        "stream_h2d_efficiency": round(stream_h2d_eff, 3),
+        "tunnel_cap_mp_per_s": round(line_rate / (arr.nbytes / mp), 3),
         "seconds_per_scene_batched_min": round(batch_min, 5),
         "seconds_per_scene_batched_median": round(batch_med, 5),
         "seconds_per_scene_single_min": round(float(np.min(lat)), 5),
