@@ -20,7 +20,11 @@ reference stage-3 method branches (3_classification.py:335-485), plus a
     = 158 MP/s), and run-to-run movement in it is tunnel state.
   * rule_based / kmeans: the same sustained 8-scene-batch protocol over
     the fused batched programs (pipeline.turbo.rule_based_scenes_turbo_
-    batch / kmeans_scenes_turbo_batch) -> *_sustained_mp_per_s fields.
+    batch / kmeans_scenes_turbo_batch) -> *_sustained_mp_per_s fields,
+    plus resident-input device compute per scene (*_device_ms_per_scene,
+    same enqueue-20 RTT-subtracted protocol as the RF figure — the
+    sustained streams are tunnel-transfer-capped, so the device figures
+    are the ones that track code changes).
   * large scene: a 6000x6000x7 scene (100x the bundled scene, tiled
     from AA.tif with per-tile DN rolls) through the memory-bounded
     tiled pipeline; the recorded figure is the warm steady-state of a
@@ -66,7 +70,7 @@ CLASS_MAP = "/root/reference/output/class_map.npy"
 BATCH = 8      # scenes per device program (BASELINE config #5)
 ROUNDS = 5     # timed batches in the sustained headline stream
 ROUNDS_M = 3   # timed batches per secondary-method stream
-STREAMS = 3    # stream repetitions, best-of (headline)
+STREAMS = 4    # stream repetitions, best-of (headline)
 LARGE_REPS = 10  # 6000x6000 = (600*LARGE_REPS)^2
 
 
@@ -201,6 +205,15 @@ def main() -> None:
         stream_times.append(time.perf_counter() - t0)
     dt_stream = min(stream_times)
     sustained = ROUNDS * BATCH * mp / dt_stream
+    # line rate again AFTER the streams: tunnel state drifts within a run,
+    # so gauge the stream against the better of the two measurements (a
+    # conservative efficiency — never flattered by a mid-run dip)
+    put_ts2 = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(jax.device_put(batches[0]))
+        put_ts2.append(time.perf_counter() - t0)
+    line_rate = max(line_rate, batch_bytes / min(put_ts2))
     stream_h2d_eff = (ROUNDS * batch_bytes / dt_stream) / line_rate
 
     # --- per-batch blocking rounds (min + median) -------------------------
@@ -277,6 +290,20 @@ def main() -> None:
             cfg=cfg, stretch_params=jax.device_put(sps),
             stretch_hists=jax.device_put(hists))
 
+    def _device_ms_per_scene(run_fn):
+        """Enqueue-20 RTT-subtracted device time of a resident-input
+        batched program (same protocol as the RF device figure)."""
+        out0 = run_fn()
+        sync(out0)
+        best = None
+        for _ in range(3):
+            t1 = time.perf_counter()
+            outs_ = [run_fn() for _ in range(20)]
+            sync(outs_[-1])
+            d = (time.perf_counter() - t1 - rtt) / 20
+            best = d if best is None else min(best, d)
+        return best / BATCH * 1e3
+
     km_out = run_km_batch(batches[0])
     sync(km_out)
     km_streams = []
@@ -293,6 +320,11 @@ def main() -> None:
     km_mapped = ev.map_clusters_to_classes(km_pred, km_truth)
     _, km_kappa = _kappa(km_truth, km_mapped)
     km_gate = km_kappa >= 0.75
+
+    km_dev_ms = _device_ms_per_scene(
+        lambda: kmeans_scenes_turbo_batch(
+            batch_d, luts_d, n_clusters=7, cfg=cfg,
+            stretch_params=sps0, stretch_hists=hists0))
 
     # single-scene full-fit figure (back-compat field + sklearn anchor)
     lut0 = jax.device_put(build_stretch_lut(arr, gains, biases
@@ -336,6 +368,11 @@ def main() -> None:
                                             sidx["mndwi"], sidx["ndbi"]))
     rb_agreement = float((np.asarray(outs_b[0][0]) == rb_std).mean())
     rb_gate = rb_agreement >= 0.999
+
+    rb_dev_ms = _device_ms_per_scene(
+        lambda: rule_based_scenes_turbo_batch(
+            batch_d, luts_d, cfg,
+            stretch_params=sps0, stretch_hists=hists0))
 
     # single-scene fused figure (back-compat field)
     sync(rule_based_scenes_turbo(arr_d, lut0))
@@ -403,11 +440,13 @@ def main() -> None:
             km_sustained / BASELINE_MP_PER_S, 1),
         "kmeans_roi_kappa": round(float(km_kappa), 4),
         "kmeans_seconds_per_scene": round(km_dt, 5),
+        "kmeans_device_ms_per_scene": round(km_dev_ms, 3),
         "rule_sustained_mp_per_s": round(rb_sustained, 3),
         "rule_sustained_vs_baseline": round(
             rb_sustained / BASELINE_MP_PER_S, 1),
         "rule_agreement_vs_standard": round(rb_agreement, 5),
         "rule_seconds_per_scene": round(rb_dt, 5),
+        "rule_device_ms_per_scene": round(rb_dev_ms, 3),
         "large_scene_mp": round(mp_large, 1),
         "large_scene_warm_e2e_s": round(t_large_warm, 2),
         "large_scene_mp_per_s": round(large_mps, 3),

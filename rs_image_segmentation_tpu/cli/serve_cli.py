@@ -49,6 +49,12 @@ def serve_cli(argv=None) -> None:
                    metavar="HxW",
                    help="reject scene shapes outside this allowlist "
                         "(repeatable) instead of cold-compiling them")
+    p.add_argument("--kmeans-shared-fit", action="store_true",
+                   help="fit ONE kmeans model per batch instead of per "
+                        "scene (cluster ids comparable across the batch; "
+                        "fit cost amortizes over it) — departs from the "
+                        "reference's per-scene fits; for "
+                        "same-distribution traffic")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -95,7 +101,8 @@ def serve_cli(argv=None) -> None:
             strict_shapes=(tuple(
                 (int(sp.partition("x")[0]), int(sp.partition("x")[2]))
                 for sp in args.strict_shapes)
-                if args.strict_shapes else None)))
+                if args.strict_shapes else None),
+            kmeans_shared_fit=args.kmeans_shared_fit))
     shapes = []
     for spec in args.warmup:
         h, _, w = spec.partition("x")

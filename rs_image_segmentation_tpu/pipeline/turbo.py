@@ -401,14 +401,15 @@ def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_clusters", "seed",
-                                              "fit_stride"))
+                                              "fit_stride", "shared_fit"))
 def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                               stretch_luts_u8: jnp.ndarray,
                               n_clusters: int = 7,
                               cfg: FeatureStageConfig = FeatureStageConfig(),
                               seed: int = 42, fit_stride: int = 8,
                               stretch_params=None,
-                              stretch_hists=None) -> jnp.ndarray:
+                              stretch_hists=None,
+                              shared_fit: bool = False) -> jnp.ndarray:
     """Batched unsupervised classification: (B, 7, H, W) raw uint8
     scenes -> (B, H, W) 1-based cluster maps in ONE device program.
 
@@ -423,9 +424,19 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     quality is gated by the bench (cluster-majority-mapped kappa vs the
     bundled ROI; the sklearn-anchored 0.765 holds at stride 8, tested).
 
-    Fits stay per-scene (reference 3_classification.py:377-400 clusters
-    each scene independently); cluster ids remain seed-dependent and are
-    absorbed by evaluation's cluster->class majority mapping.
+    Fits stay per-scene by default (reference 3_classification.py:377-400
+    clusters each scene independently); cluster ids remain seed-dependent
+    and are absorbed by evaluation's cluster->class majority mapping.
+
+    ``shared_fit=True`` (opt-in, a deliberate departure from the
+    reference's per-scene fits): ONE k-means model is fitted on a
+    subsample drawn evenly across ALL scenes in the batch and every
+    scene is assigned against it. For same-distribution batches (one
+    sensor/region) this is the production pattern — cluster ids become
+    comparable ACROSS the batch (per-scene fits give every scene its own
+    arbitrary labeling) — and it drops the dominant per-scene fit cost:
+    one fit amortizes over B scenes. Quality is gated the same way
+    (cluster-majority-mapped kappa; tested >= 0.75 on the bundled scene).
 
     ``stretch_params`` / ``stretch_hists``: the same fixed-point routing
     + host-precomputed stretched-histogram fast paths as
@@ -452,10 +463,20 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     rng_ = jnp.max(x_cm, axis=2, keepdims=True) - mn
     xs_cm = (x_cm - mn) / jnp.where(rng_ > 0, rng_, 1.0)    # MinMaxScaler
 
-    xfit = jnp.swapaxes(xs_cm[:, :, ::fit_stride], 1, 2)    # (B, Nf, F)
-    _, states = jax.vmap(
-        lambda xf: kmeans_fit_predict(xf, n_clusters, seed=seed))(xfit)
-    cents = states.centroids                                # (B, K, F)
+    if shared_fit:
+        # one fit over a batch-wide systematic subsample of the SAME total
+        # size as a single scene's fit sample (stride scales with B), so
+        # the fit cost is constant in B instead of linear
+        xfit = jnp.swapaxes(xs_cm[:, :, ::fit_stride * b],
+                            1, 2).reshape(-1, f)            # (~Nf, F)
+        _, state = kmeans_fit_predict(xfit, n_clusters, seed=seed)
+        cents = jnp.broadcast_to(state.centroids[None],
+                                 (b,) + state.centroids.shape)
+    else:
+        xfit = jnp.swapaxes(xs_cm[:, :, ::fit_stride], 1, 2)  # (B, Nf, F)
+        _, states = jax.vmap(
+            lambda xf: kmeans_fit_predict(xf, n_clusters, seed=seed))(xfit)
+        cents = states.centroids                            # (B, K, F)
 
     # full assignment: argmin_k ||x - c_k||^2 = argmin_k (|c_k|^2 - 2 c_k.x)
     cross = jnp.einsum("bkf,bfn->bkn", cents, xs_cm,

@@ -80,7 +80,13 @@ class EngineConfig:
 
     ``kmeans_fit_stride``: systematic-subsample stride for the kmeans
     fit (pipeline.turbo.kmeans_scenes_turbo_batch; 8 measures mapped
-    kappa 0.906 on the bundled scene at ~1/6 the full-fit cost)."""
+    kappa 0.906 on the bundled scene at ~1/6 the full-fit cost).
+
+    ``kmeans_shared_fit``: fit ONE k-means model per batch (subsample
+    drawn across all scenes) instead of per scene — an opt-in departure
+    from the reference's per-scene fits for same-distribution traffic:
+    cluster ids become comparable across the batch and the fit cost
+    amortizes over it (see kmeans_scenes_turbo_batch's docstring)."""
     max_batch: int = 8                   # scenes per device program
     batch_window_ms: float = 5.0         # wait for same-shape stragglers
     buckets: Tuple[int, ...] = (1, 2, 4, 8)
@@ -89,6 +95,7 @@ class EngineConfig:
     program_cache: int = 32              # live (method, bucket, shape) jits
     strict_shapes: Optional[Tuple[Tuple[int, int], ...]] = None
     kmeans_fit_stride: int = 8
+    kmeans_shared_fit: bool = False
 
     def __post_init__(self):
         if self.max_batch < 1:
@@ -528,12 +535,13 @@ class InferenceEngine:
                 kmeans_scenes_turbo_batch)
             k, seed = self._n_clusters, self._kmeans_seed
             stride = self._ecfg.kmeans_fit_stride
+            shared = self._ecfg.kmeans_shared_fit
 
             def run(bd, ld, sd, hd):
                 return kmeans_scenes_turbo_batch(
                     bd, ld, n_clusters=k, cfg=cfg, seed=seed,
                     fit_stride=stride, stretch_params=sd,
-                    stretch_hists=hd)
+                    stretch_hists=hd, shared_fit=shared)
         else:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 rule_based_scenes_turbo_batch)

@@ -329,3 +329,43 @@ def test_method_batches_host_hist_bit_identical(rng, aa_scene):
         jnp.asarray(batch), jnp.asarray(luts), n_clusters=5, fit_stride=4,
         stretch_params=jnp.asarray(sps), stretch_hists=jnp.asarray(hists)))
     assert np.array_equal(km_plain, km_hist)
+
+
+def test_kmeans_shared_fit_batch(rng, aa_scene):
+    """shared_fit=True fits ONE model per batch: duplicated scenes get
+    bit-identical maps (same centroids, same data), different scenes get
+    maps labeled in ONE shared cluster space, and quality on the bundled
+    scene holds the same cluster-majority-mapped kappa gate as the
+    per-scene mode (round 4, opt-in departure from the reference's
+    per-scene fits — 3_classification.py:377-400)."""
+    from rs_image_segmentation_tpu.pipeline.evaluate import (
+        ClassificationEvaluator)
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    batch = np.stack([arr, np.roll(arr, 17, axis=2)])
+    luts = np.stack([build_stretch_lut(s, gains, biases).astype(np.uint8)
+                     for s in batch])
+    got = np.asarray(kmeans_scenes_turbo_batch(
+        jnp.asarray(batch), jnp.asarray(luts), n_clusters=7,
+        shared_fit=True))
+    assert got.shape == (2,) + arr.shape[1:]
+    assert got.min() >= 1 and got.max() <= 7
+    # the rolled copy contains the same pixel population; in a SHARED
+    # cluster space its map must be (nearly) the roll of the first map —
+    # per-scene fits cannot promise this (each scene gets its own ids)
+    agree = (np.roll(got[0], 17, axis=1) == got[1]).mean()
+    assert agree >= 0.98, agree
+
+    roi = np.load("/root/reference/output/ROI/roi_mask.npy")
+    valid = roi > 0
+    ev = ClassificationEvaluator()
+    pred, truth = ev.extract_valid_samples(got[0], roi)
+    mapped = ev.map_clusters_to_classes(pred, truth)
+    from rs_image_segmentation_tpu.ops.stats import (cohen_kappa,
+                                                     confusion_matrix)
+    labels = sorted(set(np.unique(truth)) | set(np.unique(mapped)))
+    kappa = cohen_kappa(confusion_matrix(truth, mapped, labels))
+    assert kappa >= 0.75, kappa
