@@ -10,8 +10,9 @@ so rounds can A/B kernels with a single command:
     python benchmarks/kernel_bench.py [--reps 20]
 
 Components: LUT+histogram preamble (Pallas bilinear), 19-channel stack
-core, fused forest inference (Pallas), full turbo program, and the
-single-scene kmeans / rule-based fused routes.
+core, fused forest inference (Pallas), full turbo program (incl. the
+host-histogram fast path), the single-scene kmeans / rule-based fused
+routes, and the batch-8 method programs (incl. shared-fit kmeans).
 """
 
 import argparse
@@ -44,18 +45,19 @@ def main() -> None:
         forest_block_n, forest_labels_pallas)
     from rs_image_segmentation_tpu.pipeline import turbo as T
     from rs_image_segmentation_tpu.pipeline.preprocess import (
-        build_stretch_lut, build_stretch_params)
+        build_stretch_lut, build_stretch_stats)
 
     arr, cal, cfg, forest, depth, gf = load_bundled_forest()
     gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
     mp_scene = arr.shape[1] * arr.shape[2] / 1e6
 
     batch = np.ascontiguousarray(np.broadcast_to(arr, (8,) + arr.shape)).copy()
-    luts = np.stack([build_stretch_lut(s, gains, biases)
-                     for s in batch]).astype(np.uint8)
-    sps = np.stack([build_stretch_params(s, gains, biases)[1]
-                    for s in batch])
+    stats = [build_stretch_stats(s, gains, biases) for s in batch]
+    luts = np.stack([p[0] for p in stats]).astype(np.uint8)
+    sps = np.stack([p[1] for p in stats])
+    hists = np.stack([p[2] for p in stats])
     bd, ld, sd = jnp.asarray(batch), jnp.asarray(luts), jnp.asarray(sps)
+    hd = jnp.asarray(hists)
     lut1 = jnp.asarray(luts[0])
     a1 = jnp.asarray(arr)
     rng = np.random.default_rng(0)
@@ -97,10 +99,27 @@ def main() -> None:
         ("turbo_full_fixedpoint_x8", 8 * mp_scene,
          lambda: T.classify_scenes_turbo(bd, ld, gf, cfg,
                                          stretch_params=sd)),
+        ("turbo_full_hosthist_x8", 8 * mp_scene,
+         lambda: T.classify_scenes_turbo(bd, ld, gf, cfg,
+                                         stretch_params=sd,
+                                         stretch_hists=hd)),
         ("kmeans_turbo_x1", mp_scene,
          lambda: T.kmeans_scenes_turbo(a1, lut1, cfg=cfg)),
         ("rule_based_turbo_x1", mp_scene,
          lambda: T.rule_based_scenes_turbo(a1, lut1, cfg)),
+        ("kmeans_turbo_batch_x8", 8 * mp_scene,
+         lambda: T.kmeans_scenes_turbo_batch(bd, ld, cfg=cfg,
+                                             stretch_params=sd,
+                                             stretch_hists=hd)),
+        ("kmeans_turbo_batch_sharedfit_x8", 8 * mp_scene,
+         lambda: T.kmeans_scenes_turbo_batch(bd, ld, cfg=cfg,
+                                             stretch_params=sd,
+                                             stretch_hists=hd,
+                                             shared_fit=True)),
+        ("rule_based_turbo_batch_x8", 8 * mp_scene,
+         lambda: T.rule_based_scenes_turbo_batch(bd, ld, cfg,
+                                                 stretch_params=sd,
+                                                 stretch_hists=hd)),
     ]
     for name, mp, f in components:
         try:
