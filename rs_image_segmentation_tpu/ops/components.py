@@ -180,7 +180,7 @@ def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
          id (ops.pallas_kernels.hist_dense_pallas / keep_lut_pallas).
 
     ``bins`` caps ids per mask: components whose first-run rank within
-    their mask exceeds bins-1 are dropped as if too small (the bundled
+    their mask reaches bins are dropped as if too small (the bundled
     scene's noisiest mask has ~15.4k runs vs the default 32768).
     Replaces reference extract.py:320-330 at stage-3 batch shapes."""
     m, h, w = masks.shape
@@ -203,14 +203,26 @@ def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
     # row-run starts: fg with background (or row edge) on the left
     left_fg = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
     starts = fg & ~left_fg
-    r0 = jnp.cumsum(starts.reshape(-1).astype(jnp.int32)).reshape(m * hs, w)
-    ids_tall = ccmin_prop_pallas(tall, r0, connectivity=connectivity,
-                                 interpret=interpret)
-    # mask-relative ids: subtract the exclusive run count before each
-    # mask's region (strided slice, no gather)
-    base = (r0 - starts.astype(jnp.int32)).reshape(m, hs, w)[:, 0, 0]
-    rel = ids_tall.reshape(m, hs, w)[:, :h, :] - 1 - base[:, None, None]
-    rel = jnp.where(masks != 0, rel, bins)       # bg (and overflow) drop out
+    # inclusive cumsum over the linear order, evaluated as per-row scans
+    # plus a tiny row-offset scan — identical values to the flat 8.6M
+    # cumsum, ~5x faster (the flat scan serializes; rows vectorize)
+    s32 = starts.astype(jnp.int32)
+    row_tot = jnp.sum(s32, axis=1)                          # (m*hs,)
+    row_off = jnp.cumsum(row_tot) - row_tot                 # exclusive
+    r0 = jnp.cumsum(s32, axis=1) + row_off[:, None]
+    # seed with MASK-RELATIVE 0-based run ranks (subtract each mask's
+    # exclusive run count BEFORE propagating): adding a per-mask constant
+    # preserves the min structure and the separator rows stop cross-mask
+    # flow, so propagating rel ids is exactly equivalent to propagating
+    # the global cumsum. (An int16 propagation — rel ids fit — was built
+    # and REJECTED: TPU v5e Mosaic has no sub-32-bit vector minsi OR
+    # compare, so int16 labels cannot be min-propagated at all.)
+    base = (r0 - s32).reshape(m, hs, w)[:, 0, 0]
+    rel0 = (r0.reshape(m, hs, w) - 1 - base[:, None, None]).reshape(m * hs, w)
+    ids_rel = ccmin_prop_pallas(tall, rel0, connectivity=connectivity,
+                                interpret=interpret)
+    rel = ids_rel.reshape(m, hs, w)[:, :h, :]
+    rel = jnp.where((masks != 0) & (rel < bins), rel, bins)
     npix = h * w
     k = 4096
     pad = (-npix) % k

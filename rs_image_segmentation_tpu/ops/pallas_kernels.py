@@ -838,11 +838,22 @@ def _cc_reach_masks(fg, axis: int, limit: int, rev: bool):
     return out
 
 
+def _vmin(a, b):
+    """Elementwise min that Mosaic can legalize at int16: there is no
+    arith.minsi for sub-32-bit vectors, but compare+select lowers fine
+    (i32 keeps the native minsi)."""
+    if a.dtype == jnp.int16:
+        return jnp.where(a < b, a, b)
+    return jnp.minimum(a, b)
+
+
 def _cc_seg_min(v, fg, axis: int, limit: int, masks_fwd, masks_bwd):
     """Forward+backward segmented min along ``axis`` via doubling with
     precomputed blocked-masks: values cross a whole contiguous fg run in
-    log2(limit) steps."""
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    log2(limit) steps. Dtype-generic: int16 labels pack 2x the lanes per
+    vreg, halving the scan cost (used by the min-area batch path, whose
+    mask-relative ids are < 2^15 by construction)."""
+    big = jnp.asarray(jnp.iinfo(v.dtype).max, v.dtype)
 
     def scan(v0, rev, masks):
         v_ = v0
@@ -850,18 +861,19 @@ def _cc_seg_min(v, fg, axis: int, limit: int, masks_fwd, masks_bwd):
         k = 0
         while d < limit:
             v_sh = _cc_shift(v_, d, axis, rev, big)
-            v_ = jnp.where(masks[k] != 0, v_, jnp.minimum(v_, v_sh))
+            v_ = jnp.where(masks[k] != 0, v_, _vmin(v_, v_sh))
             d *= 2
             k += 1
         return v_
 
-    return jnp.where(fg, jnp.minimum(scan(v, False, masks_fwd),
+    return jnp.where(fg, _vmin(scan(v, False, masks_fwd),
                                      scan(v, True, masks_bwd)), big)
 
 
 def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
                      fg_ref, lab_ref, out_ref, chg_ref):
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    ldt = lab_ref.dtype
+    big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
     # halo/activity arrays ride whole ((n_strips, WP) is KB-scale; a
     # (1, WP) block would violate the TPU block-shape rules) — pick this
     # strip's row
@@ -879,8 +891,11 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
         fg = fg_ref[...] != 0                              # (BH, WP)
         lab0 = jnp.where(fg, lab_ref[...], big)
         bh, wp = lab0.shape
-        top = top_ref[pl.ds(i, 1), :]                      # (1, WP)
-        bot = bot_ref[pl.ds(i, 1), :]
+        # halo arrays ride as int32 regardless of the label dtype: Mosaic
+        # rejects dynamically-indexed (1, WP) sub-lane i16 loads, and the
+        # values fit either way (big == iinfo(ldt).max round-trips)
+        top = top_ref[pl.ds(i, 1), :].astype(ldt)          # (1, WP)
+        bot = bot_ref[pl.ds(i, 1), :].astype(ldt)
 
         def shift_r(x, fill):
             return jnp.concatenate(
@@ -896,16 +911,16 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
         # contribution (vertical + diagonal for 8-conn) is injected into
         # the boundary rows ONCE; min-propagation carries it from there
         if conn == 8:
-            top_c = jnp.minimum(top, jnp.minimum(shift_r(top, big),
+            top_c = _vmin(top, _vmin(shift_r(top, big),
                                                  shift_l(top, big)))
-            bot_c = jnp.minimum(bot, jnp.minimum(shift_r(bot, big),
+            bot_c = _vmin(bot, _vmin(shift_r(bot, big),
                                                  shift_l(bot, big)))
         else:
             top_c, bot_c = top, bot
         lab0 = jnp.where(
             fg,
-            jnp.concatenate([jnp.minimum(lab0[:1], top_c), lab0[1:-1],
-                             jnp.minimum(lab0[-1:], bot_c)], axis=0),
+            jnp.concatenate([_vmin(lab0[:1], top_c), lab0[1:-1],
+                             _vmin(lab0[-1:], bot_c)], axis=0),
             big)
 
         # scan blocked-masks depend only on fg: build once per activation
@@ -920,14 +935,14 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
             # need explicit mins for 8-conn
             if conn == 8:
                 up = jnp.concatenate(
-                    [jnp.full((1, wp), big, jnp.int32), lab[:-1]], axis=0)
+                    [jnp.full((1, wp), big, ldt), lab[:-1]], axis=0)
                 dn = jnp.concatenate(
-                    [lab[1:], jnp.full((1, wp), big, jnp.int32)], axis=0)
-                diag = jnp.minimum(jnp.minimum(shift_r(up, big),
+                    [lab[1:], jnp.full((1, wp), big, ldt)], axis=0)
+                diag = _vmin(_vmin(shift_r(up, big),
                                                shift_l(up, big)),
-                                   jnp.minimum(shift_r(dn, big),
+                                   _vmin(shift_r(dn, big),
                                                shift_l(dn, big)))
-                nm = jnp.where(fg, jnp.minimum(lab, diag), big)
+                nm = jnp.where(fg, _vmin(lab, diag), big)
             else:
                 nm = lab
             nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
@@ -967,7 +982,9 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
     improvement available" IS the global fixed point. The criterion is
     memoryless (a function of the current labels only), so no
     consumed-halo bookkeeping is needed."""
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    ldt = lab.dtype
+    assert not jump or ldt == jnp.int32  # pointer-jump needs linear indices
+    big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
     hp, wp = lab.shape
     bh = _cc_strip_rows(wp)
     n_strips = hp // bh
@@ -976,7 +993,7 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
     grid = (n_strips,)
     call = pl.pallas_call(
         functools.partial(_cc_strip_kernel, n_inner, connectivity),
-        out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        out_shape=(jax.ShapeDtypeStruct((hp, wp), ldt),
                    jax.ShapeDtypeStruct((n_strips, 1), jnp.int32)),
         grid=grid,
         in_specs=[
@@ -1002,8 +1019,8 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
 
     def halos(lab):
         # rows i*bh - 1 and (i+1)*bh of each strip, big beyond the image
-        ext = jnp.concatenate([jnp.full((1, wp), big, jnp.int32), lab,
-                               jnp.full((1, wp), big, jnp.int32)], axis=0)
+        ext = jnp.concatenate([jnp.full((1, wp), big, ldt), lab,
+                               jnp.full((1, wp), big, ldt)], axis=0)
         top = ext[0:-2:bh][:n_strips]                  # row i*bh - 1
         bot = ext[bh + 1::bh][:n_strips]               # row (i+1)*bh
         return top, bot
@@ -1020,11 +1037,11 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
 
     def shift_r1(x):
         return jnp.concatenate(
-            [jnp.full((n_strips, 1), big, jnp.int32), x[:, :-1]], axis=1)
+            [jnp.full((n_strips, 1), big, ldt), x[:, :-1]], axis=1)
 
     def shift_l1(x):
         return jnp.concatenate(
-            [x[:, 1:], jnp.full((n_strips, 1), big, jnp.int32)], axis=1)
+            [x[:, 1:], jnp.full((n_strips, 1), big, ldt)], axis=1)
 
     def next_active(new, still):
         # strip i must rerun iff it hit its inner bound while changing,
@@ -1050,7 +1067,8 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
             bot_f = jump_rows(bot_raw, lab)
         else:
             top_f, bot_f = top_raw, bot_raw
-        new, still = call(act[:, None], top_f, bot_f, fg_u8, lab)
+        new, still = call(act[:, None], top_f.astype(jnp.int32),
+                          bot_f.astype(jnp.int32), fg_u8, lab)
         return new, next_active(new, still), it + 1
 
     state = (lab, jnp.ones((n_strips,), jnp.int32), 0)  # all active first
@@ -1096,16 +1114,26 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_outer",
-                                             "n_inner", "interpret"))
+                                             "n_inner", "interpret",
+                                             "dtype"))
 def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
                       connectivity: int = 8, max_outer: int = 128,
                       n_inner: int = 16,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      dtype=jnp.int32) -> jnp.ndarray:
     """Per-component minimum of ``values`` over the connected components
     of ``mask``: every foreground pixel gets min(values over its
     component); background -1. Same strip kernel as :func:`cc_pallas`
     (values need not be positions, so no halo pointer-jump — convergence
     follows the component geometry exactly like the label pass).
+
+    ``dtype=jnp.int16`` would run the propagation on int16 vectors (2x
+    lanes per vreg; values are clipped to the iinfo(dtype).max sentinel
+    so out-of-range inputs come back as the sentinel, never aliased) —
+    but TPU v5e Mosaic legalizes NEITHER arith.minsi NOR vector
+    compares below 32 bits ("Target does not support this comparison"),
+    so on this hardware only the default int32 actually compiles; the
+    parameter is kept for future targets.
 
     Used by ops.components.remove_small_components_batch to spread each
     component's dense id (the root-flag cumsum evaluated at the root,
@@ -1114,16 +1142,18 @@ def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
     minimum linear index)."""
     h, w = mask.shape
     fg_hw = mask != 0
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    big = jnp.asarray(jnp.iinfo(dtype).max, dtype)
     bh = _cc_strip_rows(w + (-w) % _LANE)
     hp = h + (-h) % bh
     wp = w + (-w) % _LANE
     fg = jnp.pad(fg_hw, ((0, hp - h), (0, wp - w)))
-    v = jnp.pad(values.astype(jnp.int32), ((0, hp - h), (0, wp - w)))
+    v32 = jnp.minimum(values.astype(jnp.int32),
+                      jnp.int32(jnp.iinfo(dtype).max))
+    v = jnp.pad(v32.astype(dtype), ((0, hp - h), (0, wp - w)))
     v = jnp.where(fg, v, big)
     v = _ccmin_run(fg, v, w, connectivity, max_outer, n_inner,
                    jump=False, interpret=interpret)
-    return jnp.where(fg_hw, v[:h, :w], -1)
+    return jnp.where(fg_hw, v[:h, :w].astype(jnp.int32), -1)
 
 
 # -------------------------------------------------- dense-id histogram + LUT
