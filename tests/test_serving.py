@@ -594,3 +594,22 @@ def test_strict_shapes_allowlist():
         st = eng.stats()
     assert st["rejected_shape"] == 1
     assert st["strict_shapes"] == [[28, 28]]
+
+
+def test_kmeans_shared_fit_engine():
+    """EngineConfig.kmeans_shared_fit routes the kmeans program through
+    the batch-shared fit (round 4, opt-in): duplicated scenes batched
+    together get bit-identical maps (one model, same data) and valid
+    cluster labels."""
+    scenes = _scenes(1, seed=23)
+    dup = [scenes[0], scenes[0].copy()]
+    with InferenceEngine(method="kmeans", n_clusters=4, cfg=SMALL_CFG,
+                         engine_cfg=EngineConfig(max_batch=2,
+                                                 batch_window_ms=500.0,
+                                                 buckets=(2,),
+                                                 kmeans_shared_fit=True)
+                         ) as eng:
+        futs = [eng.submit(s) for s in dup]
+        outs = [f.result(timeout=600) for f in futs]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    assert set(np.unique(outs[0])) <= set(range(1, 5))
