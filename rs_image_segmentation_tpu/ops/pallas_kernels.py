@@ -867,7 +867,7 @@ def _cc_seg_min(v, fg, axis: int, limit: int, masks_fwd, masks_bwd):
         return v_
 
     return jnp.where(fg, _vmin(scan(v, False, masks_fwd),
-                                     scan(v, True, masks_bwd)), big)
+                               scan(v, True, masks_bwd)), big)
 
 
 def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
@@ -912,9 +912,9 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
         # the boundary rows ONCE; min-propagation carries it from there
         if conn == 8:
             top_c = _vmin(top, _vmin(shift_r(top, big),
-                                                 shift_l(top, big)))
+                                     shift_l(top, big)))
             bot_c = _vmin(bot, _vmin(shift_r(bot, big),
-                                                 shift_l(bot, big)))
+                                     shift_l(bot, big)))
         else:
             top_c, bot_c = top, bot
         lab0 = jnp.where(
@@ -939,9 +939,9 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
                 dn = jnp.concatenate(
                     [lab[1:], jnp.full((1, wp), big, ldt)], axis=0)
                 diag = _vmin(_vmin(shift_r(up, big),
-                                               shift_l(up, big)),
-                                   _vmin(shift_r(dn, big),
-                                               shift_l(dn, big)))
+                                   shift_l(up, big)),
+                             _vmin(shift_r(dn, big),
+                                   shift_l(dn, big)))
                 nm = jnp.where(fg, _vmin(lab, diag), big)
             else:
                 nm = lab
