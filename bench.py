@@ -307,7 +307,7 @@ def main() -> None:
     km_out = run_km_batch(batches[0])
     sync(km_out)
     km_streams = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         outs_k = [run_km_batch(b) for b in batches[:ROUNDS_M]]
         for o in outs_k:
@@ -349,7 +349,7 @@ def main() -> None:
     rb_out = run_rb_batch(batches[0])
     sync(rb_out)
     rb_streams = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         outs_b = [run_rb_batch(b) for b in batches[:ROUNDS_M]]
         for o in outs_b:
