@@ -383,3 +383,28 @@ def test_cc_pallas_wide_mask_adaptive_strips(rng):
     ref = np.asarray(connected_components(mj))
     got = np.asarray(cc_pallas(mj, interpret=True))
     assert np.array_equal(ref, got)
+
+
+def test_remove_small_components_batch_bins_cap():
+    """The bins cap drops components whose first-run rank reaches bins —
+    pinned with a tiny bins: heavy run-noise ranked before a large blob
+    pushes the blob's id past the cap (dropped despite its area), while
+    the default 32768 keeps it. impl="pallas" because the cap lives in
+    the scatter-free TPU route (interpret mode off-TPU); the XLA
+    fallback has no cap."""
+    from rs_image_segmentation_tpu.ops.components import (
+        remove_small_components_batch)
+
+    m = np.zeros((1, 40, 64), np.uint8)
+    m[0, 0:20, ::2] = 1            # 20 rows x 32 isolated 1-px runs = 640 runs
+    m[0, 30:40, 10:40] = 1         # a 300-px blob ranked AFTER the noise
+    ma = jnp.asarray([50], jnp.int32)
+
+    kept_default = np.asarray(remove_small_components_batch(
+        jnp.asarray(m), ma, impl="pallas"))
+    assert kept_default[0, 30:40, 10:40].all()      # blob survives min-area
+    assert not kept_default[0, 0:20].any()          # noise dropped (area 1)
+
+    kept_capped = np.asarray(remove_small_components_batch(
+        jnp.asarray(m), ma, bins=128, impl="pallas"))
+    assert not kept_capped.any()   # blob's rank (640) >= 128: dropped too
