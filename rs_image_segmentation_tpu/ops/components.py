@@ -156,10 +156,12 @@ def remove_small_components(mask: jnp.ndarray, min_area: int,
     return (mask.astype(bool) & keep).astype(jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("connectivity", "bins", "impl"))
+@partial(jax.jit, static_argnames=("connectivity", "bins", "impl",
+                                   "return_overflow"))
 def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
                                   connectivity: int = 8, bins: int = 32768,
-                                  impl: str = "auto") -> jnp.ndarray:
+                                  impl: str = "auto",
+                                  return_overflow: bool = False):
     """Batched :func:`remove_small_components` over (M, H, W) masks with
     per-mask ``min_areas`` (M,), exact vs the per-mask path.
 
@@ -179,19 +181,32 @@ def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
          contractions over a (hi, lo) decomposition of the mask-relative
          id (ops.pallas_kernels.hist_dense_pallas / keep_lut_pallas).
 
-    ``bins`` caps ids per mask: components whose first-run rank within
-    their mask reaches bins are dropped as if too small (the bundled
-    scene's noisiest mask has ~15.4k runs vs the default 32768).
+    ``bins`` caps ids per mask (must be a multiple of 128 — the
+    (hi, lo) one-hot decomposition works in 128-wide lane tiles, so a
+    ragged cap would silently disagree with the ``rel < bins`` filter):
+    components whose first-run rank within their mask reaches bins are
+    dropped as if too small (the bundled scene's noisiest mask has
+    ~15.4k runs vs the default 32768). ``return_overflow=True``
+    additionally returns an (M,) bool marking masks where the cap was
+    actually hit (some component's first-run rank >= bins, i.e. the
+    output for that mask may drop large components) — callers reroute
+    those masks to the uncapped whole-image path (serving does;
+    pipeline.turbo.rule_based_scenes_turbo_batch threads the flag).
     Replaces reference extract.py:320-330 at stage-3 batch shapes."""
+    if bins % 128:
+        raise ValueError(f"bins must be a multiple of 128, got {bins}")
     m, h, w = masks.shape
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
-        return jax.vmap(
+        out = jax.vmap(
             lambda mk, ar: (mk.astype(bool)
                             & (component_areas_per_pixel(
                                 mk, connectivity) >= ar)).astype(jnp.uint8)
         )(masks, jnp.asarray(min_areas))
+        if return_overflow:   # the XLA path is uncapped — never overflows
+            return out, jnp.zeros((m,), bool)
+        return out
 
     from rs_image_segmentation_tpu.ops.pallas_kernels import (
         ccmin_prop_pallas, hist_dense_pallas, keep_lut_pallas)
@@ -222,6 +237,10 @@ def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
     ids_rel = ccmin_prop_pallas(tall, rel0, connectivity=connectivity,
                                 interpret=interpret)
     rel = ids_rel.reshape(m, hs, w)[:, :h, :]
+    # exact cap-hit flag: a component is mislabeled iff its propagated
+    # first-run rank reaches bins (run COUNT > bins alone is fine — many
+    # runs can merge into few low-rank components) — one cheap reduction
+    overflow = jnp.max(jnp.where(masks != 0, rel, -1), axis=(1, 2)) >= bins
     rel = jnp.where((masks != 0) & (rel < bins), rel, bins)
     npix = h * w
     k = 4096
@@ -235,7 +254,10 @@ def remove_small_components_batch(masks: jnp.ndarray, min_areas: jnp.ndarray,
     keepmat_t = jnp.swapaxes(keepmat_t, 1, 2)    # (M, 128, bins//128)
     keep = keep_lut_pallas(rel_rows, keepmat_t, interpret=interpret)
     keep = keep.reshape(m, npix + pad)[:, :npix].reshape(m, h, w)
-    return (masks.astype(bool) & (keep != 0)).astype(jnp.uint8)
+    out = (masks.astype(bool) & (keep != 0)).astype(jnp.uint8)
+    if return_overflow:
+        return out, overflow
+    return out
 
 
 def component_areas_per_pixel(mask: jnp.ndarray, connectivity: int = 8

@@ -510,13 +510,15 @@ def _rule_front(scene_u8, stretch_lut_u8, cfg, sp=None, hist_in=None):
             mndwi_fn(b[1], b[4]), ndbi_fn(b[4], b[3]))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg"))
+@functools.partial(jax.jit, static_argnames=("cfg", "rule_cfg",
+                                             "return_overflow"))
 def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                                   stretch_luts_u8: jnp.ndarray,
                                   cfg: FeatureStageConfig = FeatureStageConfig(),
                                   rule_cfg=None,
                                   stretch_params=None,
-                                  stretch_hists=None) -> jnp.ndarray:
+                                  stretch_hists=None,
+                                  return_overflow: bool = False):
     """Batched rule-based classification: (B, 7, H, W) raw uint8 scenes +
     (B, 7, 256) stretch LUTs -> (B, H, W) uint8 labels in ONE device
     program, bit-identical per scene to the standard rule graph
@@ -536,6 +538,11 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     class this program serves (reference scenes are 600^2); arbitrarily
     large rasters go through pipeline.large_scene.rule_based_large_scene,
     whose whole-image post-processing has no id cap.
+    ``return_overflow=True`` additionally returns a (B,) bool marking
+    scenes where ANY of the four min-area stages actually hit the cap
+    (output possibly wrong for that scene) — the serving engine uses it
+    to reroute exactly those scenes to the uncapped path instead of
+    silently returning a truncated label map.
 
     Reference: scripts/3_classification.py:335-375, extract.py:299-505.
     """
@@ -578,7 +585,10 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
         jnp.full((b,), int(area * rc.veg_min_area_frac), jnp.int32),
         jnp.full((b,), int(area * rc.water_min_area_frac), jnp.int32),
         jnp.full((b,), int(area * rc.builtup_min_area_frac), jnp.int32)])
-    kept = remove_small_components_batch(stack3, min_areas)
+    kept = remove_small_components_batch(stack3, min_areas,
+                                         return_overflow=return_overflow)
+    if return_overflow:
+        kept, ov3 = kept
     veg = opening(kept[:b], 3, shape="ellipse")
     water = opening(kept[b:2 * b], 3, shape="ellipse")
     built = opening(kept[2 * b:], 5, shape="ellipse")
@@ -598,9 +608,14 @@ def rule_based_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     bare = closing(bare, 3, shape="ellipse")
     bare = remove_small_components_batch(
         bare, jnp.full((b,), int(area * rc.bareland_min_area_frac),
-                       jnp.int32))
+                       jnp.int32), return_overflow=return_overflow)
+    if return_overflow:
+        bare, ov_bare = bare
     bare = opening(bare, 3, shape="ellipse")
     out = jnp.where((bare == 1) & (out == 0), 4, out)
+    if return_overflow:
+        overflow = ov3[:b] | ov3[b:2 * b] | ov3[2 * b:] | ov_bare
+        return out.astype(jnp.uint8), overflow
     return out.astype(jnp.uint8)
 
 

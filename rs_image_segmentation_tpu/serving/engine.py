@@ -188,6 +188,7 @@ class InferenceEngine:
             "requests": 0, "batches": 0, "padded_scenes": 0,
             "errors": 0, "cancelled": 0, "rejected": 0,
             "rejected_shape": 0, "program_evictions": 0,
+            "rule_overflow_reroutes": 0,
             "batch_sizes": collections.Counter(),
             "methods": collections.Counter(),
         }
@@ -310,6 +311,8 @@ class InferenceEngine:
                 "program_cache_size": len(self._programs),
                 "program_cache_limit": self._ecfg.program_cache,
                 "program_evictions": self._stats["program_evictions"],
+                "rule_overflow_reroutes":
+                    self._stats["rule_overflow_reroutes"],
                 "rejected_shape": self._stats["rejected_shape"],
                 "strict_shapes": (
                     [list(s) for s in self._ecfg.strict_shapes]
@@ -456,6 +459,14 @@ class InferenceEngine:
         # price there
         if method == "random_forest" and self._gf is None:
             b = n
+        elif method == "kmeans" and self._ecfg.kmeans_shared_fit:
+            # shared fit draws its subsample ACROSS the batch (stride
+            # scales with b), so padded duplicates would enter the fit —
+            # over-weighting the repeated scene and changing every output
+            # vs an unpadded run. Disabling padding (b = n) keeps the
+            # exactness contract; compile count stays bounded by
+            # max_batch distinct sizes.
+            b = n
         else:
             b = bucket if bucket is not None else self._bucket_for(n)
         # pad up by repeating the last scene: per-scene vmapped statistics
@@ -484,6 +495,33 @@ class InferenceEngine:
             run = self._program_for(method, b, batch.shape[1:])
             maps = run(jnp.asarray(batch), jnp.asarray(luts),
                        jnp.asarray(sps), jnp.asarray(hists))
+        if method == "rule_based":
+            maps, overflow = maps
+            # np.array (copy): device-array views are read-only and the
+            # overflow reroute below writes rows in place
+            out = np.array(maps)[:n]
+            ov = np.asarray(overflow)[:n]
+            if ov.any():
+                # the batched min-area machinery hit its 32768-id cap on
+                # these scenes (dense speckle / very large rasters) —
+                # recompute them through the uncapped whole-image path.
+                # Inputs match exactly: the stretched scene is the LUT
+                # applied to the raw DNs and `hists` already holds the
+                # stretched-value histograms (build_stretch_stats).
+                from rs_image_segmentation_tpu.pipeline.large_scene import (
+                    rule_based_large_scene)
+                nb = luts.shape[1]
+                for i in np.nonzero(ov)[0]:
+                    pre = luts[i][np.arange(nb)[:, None, None], padded[i]]
+                    out[i] = rule_based_large_scene(
+                        pre, cfg=self._cfg,
+                        hists=hists[i].astype(np.int64))
+                with self._lock:
+                    self._stats["rule_overflow_reroutes"] += int(ov.sum())
+                _log.warning("min-area id cap hit on %d scene(s); "
+                             "rerouted to the uncapped rule path",
+                             int(ov.sum()))
+            return [out[i] for i in range(n)]
         out = np.asarray(maps)[:n]
         return [out[i] for i in range(n)]
 
@@ -547,9 +585,14 @@ class InferenceEngine:
                 rule_based_scenes_turbo_batch)
 
             def run(bd, ld, sd, hd):
+                # return_overflow: (maps, (B,) bool) — scenes whose
+                # min-area stage hit the 32768-id cap get rerouted to
+                # the uncapped path in _run_batch instead of silently
+                # returning a truncated label map
                 return rule_based_scenes_turbo_batch(bd, ld, cfg,
                                                      stretch_params=sd,
-                                                     stretch_hists=hd)
+                                                     stretch_hists=hd,
+                                                     return_overflow=True)
         return run
 
     def _fallback_batch(self, batch: np.ndarray, luts: np.ndarray):

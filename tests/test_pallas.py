@@ -408,3 +408,34 @@ def test_remove_small_components_batch_bins_cap():
     kept_capped = np.asarray(remove_small_components_batch(
         jnp.asarray(m), ma, bins=128, impl="pallas"))
     assert not kept_capped.any()   # blob's rank (640) >= 128: dropped too
+
+
+def test_remove_small_components_batch_overflow_flag():
+    """return_overflow marks exactly the masks where the bins cap
+    engaged (a propagated first-run rank >= bins); the uncapped XLA
+    route never flags; a non-multiple-of-128 bins raises (the (hi, lo)
+    one-hot decomposition works in 128-wide lane tiles)."""
+    import pytest
+
+    from rs_image_segmentation_tpu.ops.components import (
+        remove_small_components_batch)
+
+    m = np.zeros((2, 40, 64), np.uint8)
+    m[0, 0:20, ::2] = 1            # 640 noise runs ranked first
+    m[0, 30:40, 10:40] = 1         # a blob ranked past bins=128
+    m[1, 5:15, 5:25] = 1           # mask-relative rank 0: no overflow
+    ma = jnp.asarray([50, 50], jnp.int32)
+
+    kept, ov = remove_small_components_batch(
+        jnp.asarray(m), ma, bins=128, impl="pallas", return_overflow=True)
+    assert np.asarray(ov).tolist() == [True, False]
+    assert not np.asarray(kept)[0, 30:40].any()      # blob wrongly dropped
+    assert np.asarray(kept)[1, 5:15, 5:25].all()     # clean mask exact
+
+    _, ov_xla = remove_small_components_batch(
+        jnp.asarray(m), ma, bins=128, impl="xla", return_overflow=True)
+    assert not np.asarray(ov_xla).any()
+
+    with pytest.raises(ValueError, match="multiple of 128"):
+        remove_small_components_batch(jnp.asarray(m), ma, bins=100,
+                                      impl="pallas")
