@@ -536,3 +536,64 @@ def test_sharded_spatial_classify_shard_count_invariant(rng, aa_scene):
     got1 = np.asarray(sharded_classify_scene(
         pre, gf, Mesh(devs[:1], ("tile",)), cfg))
     assert np.array_equal(got2, got1)   # sharding is exact, bit-for-bit
+
+
+def test_classify_large_scene_sharded_multi_tile(rng, aa_scene):
+    """The flagship multi-chip form (round-5 VERDICT #1): a MULTI-TILE
+    scene (1800x210 — four 504-row tiles in the monolithic pipeline)
+    classified SPMD over the mesh is
+
+      * bit-invariant across shard counts (8 == 2 == 1 devices),
+      * >= 99.9 % label-identical to the monolithic
+        classify_large_scene (the residual is the documented
+        stats-implementation class: the monolithic pass C evaluates the
+        Sobel normalizer over +-1-row tile slices whose edge rows see
+        reflected context),
+      * compiled ONCE for the shape: a second same-shape scene reuses
+        the executable (stats ride as arguments, never as HLO
+        constants — the round-3 recompile-trap lesson applied to the
+        SPMD path)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from rs_image_segmentation_tpu.parallel.spatial import (
+        _sharded_classify, classify_large_scene_sharded)
+
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    assert cfg.glcm.window_size == 21 and cfg.glcm.levels == 32
+    pre = np.asarray(preprocess_bands(
+        jnp.asarray(arr), np.asarray(cal.gains), np.asarray(cal.biases)))
+    # 3 vertically-tiled copies with distinct rolls: global statistics
+    # are non-trivial functions of the whole scene, not one tile
+    big = np.concatenate([np.roll(pre, 11 * i, axis=2) for i in range(3)],
+                         axis=1)
+    big = np.ascontiguousarray(big[:, :1800, :210]).astype(np.uint8)
+
+    stack0 = np.asarray(hierarchical_stack_fused(
+        jnp.asarray(pre[:, :600, :210], jnp.float32), cfg))
+    sel = rng.integers(0, 210, (60, 2))
+    forest, depth = fit_random_forest(stack0[sel[:, 0] % 600, sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+
+    devs = np.array(jax.devices()[:8])
+    got8 = classify_large_scene_sharded(big, gf, Mesh(devs, ("tile",)), cfg)
+    got2 = classify_large_scene_sharded(big, gf, Mesh(devs[:2], ("tile",)),
+                                        cfg)
+    got1 = classify_large_scene_sharded(big, gf, Mesh(devs[:1], ("tile",)),
+                                        cfg)
+    assert np.array_equal(got8, got2)     # sharding is exact, bit-for-bit
+    assert np.array_equal(got8, got1)
+
+    mono = classify_large_scene(big, gf, cfg, tile_rows=504)
+    agree = float((got8 == mono).mean())
+    assert agree >= 0.999, f"sharded vs monolithic agreement {agree}"
+
+    # stats-as-args: a DIFFERENT same-shape scene must not retrace
+    before = _sharded_classify._cache_size()
+    big2 = np.ascontiguousarray(np.roll(big, 29, axis=2))
+    _ = classify_large_scene_sharded(big2, gf, Mesh(devs, ("tile",)), cfg)
+    assert _sharded_classify._cache_size() == before
