@@ -136,21 +136,28 @@ def main() -> None:
     forest, depth = train_random_forest_from_samples(x_train, labels)
     gf = _gemm_for(forest, stack0.shape[-1])
 
-    def run_batch(scenes_np):
-        # full e2e per batch: host stretch-stats build (exact f64 LUTs +
-        # fixed-point params + native-bincount stretched histograms,
-        # ~1.5 ms/scene overlapping device compute of earlier batches) +
+    def build_stats(scenes_np):
+        # host stretch-stats build: exact f64 LUTs + fixed-point params +
+        # native-bincount stretched histograms, ~12 ms per 8-scene batch
+        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
+        return (np.stack([p[0] for p in stats]).astype(np.uint8),
+                np.stack([p[1] for p in stats]),
+                np.stack([p[2] for p in stats]))
+
+    def run_batch_pre(scenes_np, st):
         # one H2D + ONE device program for all 8 scenes (pipeline.turbo:
         # channel-major, sort-free, gather-free; arithmetic stretch
         # preamble with NO in-kernel histogram accumulation)
-        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
-        sps = np.stack([p[1] for p in stats])
-        hists = np.stack([p[2] for p in stats])
+        luts, sps, hists = st
         return classify_scenes_turbo(
             jax.device_put(scenes_np), jax.device_put(luts), gf, cfg,
             stretch_params=jax.device_put(sps),
             stretch_hists=jax.device_put(hists))
+
+    def run_batch(scenes_np):
+        # full e2e per batch (stats build on the critical path — the
+        # sustained stream below overlaps it instead, see _stream)
+        return run_batch_pre(scenes_np, build_stats(scenes_np))
 
     def classify_one(scene_np):
         lut, sp, hh = build_stretch_stats(scene_np, gains, biases)
@@ -195,14 +202,31 @@ def main() -> None:
 
     # --- sustained stream: all ROUNDS batches in flight -------------------
     # (best of STREAMS repetitions — guards the recorded figure against a
-    # tunnel stall hitting one stream)
-    stream_times = []
-    for _ in range(STREAMS):
+    # tunnel stall hitting one stream). Batch i+1's host stats build runs
+    # in a worker thread while batch i's H2D streams (round-5 VERDICT #5:
+    # ~12 ms/batch of host work was serial on the critical path, most of
+    # the gap between the recorded stream and the tunnel line rate); the
+    # build is still INSIDE the timed stream — overlapped, not excluded.
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(1)
+
+    def _stream():
         t0 = time.perf_counter()
-        outs = [run_batch(b) for b in batches]
+        fut = pool.submit(build_stats, batches[0])
+        outs = []
+        for i, b in enumerate(batches):
+            st = fut.result()
+            if i + 1 < len(batches):
+                fut = pool.submit(build_stats, batches[i + 1])
+            outs.append(run_batch_pre(b, st))
         for o in outs:
             sync(o)
-        stream_times.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0, outs
+
+    stream_times = []
+    for _ in range(STREAMS):
+        dt, outs = _stream()
+        stream_times.append(dt)
     dt_stream = min(stream_times)
     sustained = ROUNDS * BATCH * mp / dt_stream
     # line rate again AFTER the streams: tunnel state drifts within a run,
@@ -280,15 +304,29 @@ def main() -> None:
         kmeans_scenes_turbo, kmeans_scenes_turbo_batch,
         rule_based_scenes_turbo, rule_based_scenes_turbo_batch)
 
-    def run_km_batch(scenes_np):
-        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
-        sps = np.stack([p[1] for p in stats])
-        hists = np.stack([p[2] for p in stats])
+    def run_km_pre(scenes_np, st):
+        luts, sps, hists = st
         return kmeans_scenes_turbo_batch(
             jax.device_put(scenes_np), jax.device_put(luts), n_clusters=7,
             cfg=cfg, stretch_params=jax.device_put(sps),
             stretch_hists=jax.device_put(hists))
+
+    def run_km_batch(scenes_np):
+        return run_km_pre(scenes_np, build_stats(scenes_np))
+
+    def _method_stream(run_pre, bs):
+        # same overlapped-stats stream protocol as the headline stream
+        t0 = time.perf_counter()
+        fut = pool.submit(build_stats, bs[0])
+        outs_ = []
+        for i, b in enumerate(bs):
+            st = fut.result()
+            if i + 1 < len(bs):
+                fut = pool.submit(build_stats, bs[i + 1])
+            outs_.append(run_pre(b, st))
+        for o in outs_:
+            sync(o)
+        return time.perf_counter() - t0, outs_
 
     def _device_ms_per_scene(run_fn):
         """Enqueue-20 RTT-subtracted device time of a resident-input
@@ -308,11 +346,8 @@ def main() -> None:
     sync(km_out)
     km_streams = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        outs_k = [run_km_batch(b) for b in batches[:ROUNDS_M]]
-        for o in outs_k:
-            sync(o)
-        km_streams.append(time.perf_counter() - t0)
+        dt, outs_k = _method_stream(run_km_pre, batches[:ROUNDS_M])
+        km_streams.append(dt)
     km_sustained = ROUNDS_M * BATCH * mp / min(km_streams)
     ev = ClassificationEvaluator()
     km_map = np.asarray(outs_k[0][0])
@@ -336,25 +371,22 @@ def main() -> None:
     km_dt = time.perf_counter() - t1
 
     # --- rule_based: sustained batched stream + agreement gate --------------
-    def run_rb_batch(scenes_np):
-        stats = [build_stretch_stats(s, gains, biases) for s in scenes_np]
-        luts = np.stack([p[0] for p in stats]).astype(np.uint8)
-        sps = np.stack([p[1] for p in stats])
-        hists = np.stack([p[2] for p in stats])
+    def run_rb_pre(scenes_np, st):
+        luts, sps, hists = st
         return rule_based_scenes_turbo_batch(
             jax.device_put(scenes_np), jax.device_put(luts), cfg,
             stretch_params=jax.device_put(sps),
             stretch_hists=jax.device_put(hists))
 
+    def run_rb_batch(scenes_np):
+        return run_rb_pre(scenes_np, build_stats(scenes_np))
+
     rb_out = run_rb_batch(batches[0])
     sync(rb_out)
     rb_streams = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        outs_b = [run_rb_batch(b) for b in batches[:ROUNDS_M]]
-        for o in outs_b:
-            sync(o)
-        rb_streams.append(time.perf_counter() - t0)
+        dt, outs_b = _method_stream(run_rb_pre, batches[:ROUNDS_M])
+        rb_streams.append(dt)
     rb_sustained = ROUNDS_M * BATCH * mp / min(rb_streams)
 
     from rs_image_segmentation_tpu.ops.indices import spectral_indices

@@ -55,6 +55,17 @@ def serve_cli(argv=None) -> None:
                         "fit cost amortizes over it) — departs from the "
                         "reference's per-scene fits; for "
                         "same-distribution traffic")
+    p.add_argument("--kmeans-fit-stride", type=int, default=8,
+                   help="systematic-subsample stride for the kmeans fit; "
+                        "1 = the full-pixel per-scene fit (pre-round-4 "
+                        "behavior). Quality ladder (bundled ROI, mapped "
+                        "kappa): see docs/BENCHMARKS.md")
+    p.add_argument("--kmeans-warm-start", action="store_true",
+                   help="seed each batch's shared fit from the previous "
+                        "batch's converged centroids (needs "
+                        "--kmeans-shared-fit): steady-state traffic pays "
+                        "a few convergence-gated Lloyd iterations and "
+                        "cluster ids stay stable ACROSS batches")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -102,7 +113,9 @@ def serve_cli(argv=None) -> None:
                 (int(sp.partition("x")[0]), int(sp.partition("x")[2]))
                 for sp in args.strict_shapes)
                 if args.strict_shapes else None),
-            kmeans_shared_fit=args.kmeans_shared_fit))
+            kmeans_shared_fit=args.kmeans_shared_fit,
+            kmeans_fit_stride=args.kmeans_fit_stride,
+            kmeans_warm_start=args.kmeans_warm_start))
     shapes = []
     for spec in args.warmup:
         h, _, w = spec.partition("x")

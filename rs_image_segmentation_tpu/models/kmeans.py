@@ -124,11 +124,17 @@ def lloyd_step(x: jnp.ndarray, centroids: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("k", "max_iter", "axis_name"))
 def kmeans_fit_predict(x: jnp.ndarray, k: int, seed: int = 42,
                        max_iter: int = 300, tol: float = 1e-4,
-                       axis_name: Optional[str] = None):
+                       axis_name: Optional[str] = None,
+                       init_centroids: Optional[jnp.ndarray] = None):
     """Fit + predict. ``x`` is (N, F) float32, pre-scaled by the caller.
 
     tol semantics follow sklearn: convergence when the squared centroid
     shift <= tol * mean per-feature variance of the data.
+
+    ``init_centroids``: optional (K, F) warm start — Lloyd starts from
+    these instead of k-means++ seeding (still convergence-gated by
+    ``tol``/``max_iter``). The serving engine uses it to seed each batch
+    from the previous batch's converged shared-fit centroids.
     """
     x = x.astype(jnp.float32)
     n = x.shape[0]
@@ -137,8 +143,14 @@ def kmeans_fit_predict(x: jnp.ndarray, k: int, seed: int = 42,
     var = _psum(jnp.sum((x - mean) ** 2, axis=0), axis_name) / n_total
     tol_abs = tol * jnp.mean(var)
 
-    key = jax.random.PRNGKey(seed)
-    init = kmeans_plus_plus_init(key, x, k, axis_name)
+    if init_centroids is not None:
+        init = init_centroids.astype(jnp.float32)
+        if init.shape[0] != k:
+            raise ValueError(f"init_centroids has {init.shape[0]} rows, "
+                             f"expected k={k}")
+    else:
+        key = jax.random.PRNGKey(seed)
+        init = kmeans_plus_plus_init(key, x, k, axis_name)
 
     def cond(carry):
         _, shift, it, _ = carry

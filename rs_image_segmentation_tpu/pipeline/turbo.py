@@ -401,7 +401,8 @@ def kmeans_scenes_turbo(scene_u8: jnp.ndarray, stretch_lut_u8: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_clusters", "seed",
-                                              "fit_stride", "shared_fit"))
+                                              "fit_stride", "shared_fit",
+                                              "return_cents"))
 def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                               stretch_luts_u8: jnp.ndarray,
                               n_clusters: int = 7,
@@ -409,7 +410,9 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
                               seed: int = 42, fit_stride: int = 8,
                               stretch_params=None,
                               stretch_hists=None,
-                              shared_fit: bool = False) -> jnp.ndarray:
+                              shared_fit: bool = False,
+                              init_cents=None,
+                              return_cents: bool = False):
     """Batched unsupervised classification: (B, 7, H, W) raw uint8
     scenes -> (B, H, W) 1-based cluster maps in ONE device program.
 
@@ -438,6 +441,15 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     one fit amortizes over B scenes. Quality is gated the same way
     (cluster-majority-mapped kappa; tested >= 0.75 on the bundled scene).
 
+    ``init_cents`` (shared_fit only): optional (K, F) warm start — the
+    shared fit's Lloyd loop starts from these centroids instead of
+    k-means++ seeding, still convergence-gated (models.kmeans tol
+    semantics). The serving engine threads the previous batch's
+    converged centroids through here so steady-state traffic pays a few
+    Lloyd iterations instead of a full seed + fit. ``return_cents=True``
+    additionally returns the converged (K, F) shared-fit centroids (the
+    state the engine carries to the next batch).
+
     ``stretch_params`` / ``stretch_hists``: the same fixed-point routing
     + host-precomputed stretched-histogram fast paths as
     :func:`classify_scenes_turbo` (bit-identical outputs, tested)."""
@@ -463,27 +475,35 @@ def kmeans_scenes_turbo_batch(scenes_u8: jnp.ndarray,
     rng_ = jnp.max(x_cm, axis=2, keepdims=True) - mn
     xs_cm = (x_cm - mn) / jnp.where(rng_ > 0, rng_, 1.0)    # MinMaxScaler
 
+    if init_cents is not None and not shared_fit:
+        raise ValueError("init_cents warm start requires shared_fit=True")
     if shared_fit:
         # one fit over a batch-wide systematic subsample of the SAME total
         # size as a single scene's fit sample (stride scales with B), so
         # the fit cost is constant in B instead of linear
         xfit = jnp.swapaxes(xs_cm[:, :, ::fit_stride * b],
                             1, 2).reshape(-1, f)            # (~Nf, F)
-        _, state = kmeans_fit_predict(xfit, n_clusters, seed=seed)
+        _, state = kmeans_fit_predict(xfit, n_clusters, seed=seed,
+                                      init_centroids=init_cents)
         cents = jnp.broadcast_to(state.centroids[None],
                                  (b,) + state.centroids.shape)
+        fit_cents = state.centroids
     else:
         xfit = jnp.swapaxes(xs_cm[:, :, ::fit_stride], 1, 2)  # (B, Nf, F)
         _, states = jax.vmap(
             lambda xf: kmeans_fit_predict(xf, n_clusters, seed=seed))(xfit)
         cents = states.centroids                            # (B, K, F)
+        fit_cents = cents
 
     # full assignment: argmin_k ||x - c_k||^2 = argmin_k (|c_k|^2 - 2 c_k.x)
     cross = jnp.einsum("bkf,bfn->bkn", cents, xs_cm,
                        preferred_element_type=jnp.float32, precision=_HIGH)
     cn = jnp.sum(cents * cents, axis=2)                     # (B, K)
     labels = jnp.argmin(cn[:, :, None] - 2.0 * cross, axis=1)
-    return (labels.reshape(b, h, w) + 1).astype(jnp.uint8)
+    maps = (labels.reshape(b, h, w) + 1).astype(jnp.uint8)
+    if return_cents:
+        return maps, fit_cents
+    return maps
 
 
 def _rule_front(scene_u8, stretch_lut_u8, cfg, sp=None, hist_in=None):

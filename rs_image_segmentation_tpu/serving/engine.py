@@ -96,6 +96,12 @@ class EngineConfig:
     strict_shapes: Optional[Tuple[Tuple[int, int], ...]] = None
     kmeans_fit_stride: int = 8
     kmeans_shared_fit: bool = False
+    kmeans_warm_start: bool = False      # seed the shared fit from the
+    # previous batch's converged centroids (requires kmeans_shared_fit):
+    # steady-state traffic pays a few convergence-gated Lloyd iterations
+    # instead of a full k-means++ seed + fit. Deliberately history-
+    # dependent (cluster ids stay stable ACROSS batches — the production
+    # property); leave off for per-batch reproducibility.
 
     def __post_init__(self):
         if self.max_batch < 1:
@@ -111,6 +117,9 @@ class EngineConfig:
         if self.kmeans_fit_stride < 1:
             raise ValueError(f"kmeans_fit_stride must be >= 1, "
                              f"got {self.kmeans_fit_stride}")
+        if self.kmeans_warm_start and not self.kmeans_shared_fit:
+            raise ValueError("kmeans_warm_start requires kmeans_shared_fit "
+                             "(warm centroids are the shared-fit state)")
         if self.strict_shapes is not None:
             object.__setattr__(self, "strict_shapes", tuple(
                 (int(h), int(w)) for h, w in self.strict_shapes))
@@ -197,6 +206,9 @@ class InferenceEngine:
         # reference to its executable, so device program memory stays
         # bounded by program_cache.
         self._programs: "collections.OrderedDict" = collections.OrderedDict()
+        # warm-start state: last converged shared-fit centroids per scene
+        # shape (kmeans_warm_start only)
+        self._km_cents: Dict[tuple, np.ndarray] = {}
         self._latencies: collections.deque = collections.deque(
             maxlen=engine_cfg.latency_window)
         self._thread = threading.Thread(target=self._dispatch_loop,
@@ -290,6 +302,21 @@ class InferenceEngine:
                 for b in buckets:
                     self._run_batch([scene] * b, method=m, bucket=b,
                                     record_stats=False)
+                    if m == "kmeans" and self._ecfg.kmeans_warm_start:
+                        # compile the warm-start variant too (extra
+                        # centroids input); state is seeded with a dummy
+                        # and dropped so warmup never contaminates real
+                        # warm-start state
+                        key = (nb, int(h), int(w))
+                        with self._lock:
+                            self._km_cents[key] = rng.random(
+                                (self._n_clusters, 19)).astype(np.float32)
+                        try:
+                            self._run_batch([scene] * b, method=m, bucket=b,
+                                            record_stats=False)
+                        finally:
+                            with self._lock:
+                                self._km_cents.pop(key, None)
 
     def stats(self) -> Dict:
         with self._lock:
@@ -307,7 +334,8 @@ class InferenceEngine:
                 "batch_sizes": dict(self._stats["batch_sizes"]),
                 "methods": dict(self._stats["methods"]),
                 "warm_programs": sorted(
-                    [m, b, list(s)] for m, b, s in self._programs),
+                    [m, b, list(s)] + (["warm_start"] if wm else [])
+                    for m, b, s, wm in self._programs),
                 "program_cache_size": len(self._programs),
                 "program_cache_limit": self._ecfg.program_cache,
                 "program_evictions": self._stats["program_evictions"],
@@ -491,6 +519,25 @@ class InferenceEngine:
                 self._stats["padded_scenes"] += b - n
         if method == "random_forest" and self._gf is None:
             maps = self._fallback_batch(batch, luts)
+        elif method == "kmeans" and self._ecfg.kmeans_warm_start:
+            # shared-fit warm start: seed this batch's Lloyd loop from the
+            # last converged centroids for this scene shape (tiny K x F
+            # host state; convergence-gated, so quality is self-healing)
+            shape_key = tuple(batch.shape[1:])
+            with self._lock:
+                prev = self._km_cents.get(shape_key)
+            run = self._program_for(method, b, batch.shape[1:],
+                                    warm=prev is not None)
+            if prev is not None:
+                maps, cents = run(jnp.asarray(batch), jnp.asarray(luts),
+                                  jnp.asarray(sps), jnp.asarray(hists),
+                                  jnp.asarray(prev))
+            else:
+                maps, cents = run(jnp.asarray(batch), jnp.asarray(luts),
+                                  jnp.asarray(sps), jnp.asarray(hists))
+            if record_stats:    # warmup traffic must not seed real state
+                with self._lock:
+                    self._km_cents[shape_key] = np.asarray(cents)
         else:
             run = self._program_for(method, b, batch.shape[1:])
             maps = run(jnp.asarray(batch), jnp.asarray(luts),
@@ -525,22 +572,24 @@ class InferenceEngine:
         out = np.asarray(maps)[:n]
         return [out[i] for i in range(n)]
 
-    def _program_for(self, method: str, bucket: int, shape: tuple):
+    def _program_for(self, method: str, bucket: int, shape: tuple,
+                     warm: bool = False):
         """LRU-cached per-(method, bucket, scene-shape) compiled program.
 
         Each entry is its own ``jax.jit`` wrapper (the nested library
         jits inline under it), so dropping the entry releases the
         executable; the cache cardinality — and with it device program
-        memory — is bounded by ``EngineConfig.program_cache``."""
+        memory — is bounded by ``EngineConfig.program_cache``. ``warm``
+        selects the kmeans warm-start variant (extra centroids input)."""
         import jax
 
-        key = (method, bucket, tuple(shape))
+        key = (method, bucket, tuple(shape), warm)
         with self._lock:
             run = self._programs.get(key)
             if run is not None:
                 self._programs.move_to_end(key)
                 return run
-        run = jax.jit(self._build_program(method))
+        run = jax.jit(self._build_program(method, warm=warm))
         with self._lock:
             while len(self._programs) >= self._ecfg.program_cache:
                 self._programs.popitem(last=False)
@@ -548,10 +597,12 @@ class InferenceEngine:
             self._programs[key] = run
         return run
 
-    def _build_program(self, method: str):
+    def _build_program(self, method: str, warm: bool = False):
         """The batched fused program for ``method`` as a plain
         (batch, luts, stretch_params, stretch_hists) callable (jitted per
-        cache key by :meth:`_program_for`)."""
+        cache key by :meth:`_program_for`). Under ``kmeans_warm_start``
+        the kmeans program also returns the converged centroids, and the
+        ``warm`` variant takes them as a fifth input."""
         cfg = self._cfg
         if method == "random_forest":
             from rs_image_segmentation_tpu.models.forest import (
@@ -574,12 +625,22 @@ class InferenceEngine:
             k, seed = self._n_clusters, self._kmeans_seed
             stride = self._ecfg.kmeans_fit_stride
             shared = self._ecfg.kmeans_shared_fit
+            track = self._ecfg.kmeans_warm_start
 
-            def run(bd, ld, sd, hd):
-                return kmeans_scenes_turbo_batch(
-                    bd, ld, n_clusters=k, cfg=cfg, seed=seed,
-                    fit_stride=stride, stretch_params=sd,
-                    stretch_hists=hd, shared_fit=shared)
+            if warm:
+                def run(bd, ld, sd, hd, prev):
+                    return kmeans_scenes_turbo_batch(
+                        bd, ld, n_clusters=k, cfg=cfg, seed=seed,
+                        fit_stride=stride, stretch_params=sd,
+                        stretch_hists=hd, shared_fit=shared,
+                        init_cents=prev, return_cents=True)
+            else:
+                def run(bd, ld, sd, hd):
+                    return kmeans_scenes_turbo_batch(
+                        bd, ld, n_clusters=k, cfg=cfg, seed=seed,
+                        fit_stride=stride, stretch_params=sd,
+                        stretch_hists=hd, shared_fit=shared,
+                        return_cents=track)
         else:
             from rs_image_segmentation_tpu.pipeline.turbo import (
                 rule_based_scenes_turbo_batch)

@@ -229,3 +229,22 @@ def test_train_or_load_forest_cache(tmp_path, rng):
     clf = joblib.load(path)
     assert clf.n_features_in_ == 9
 
+
+
+def test_kmeans_warm_start_fixed_point(rng):
+    """kmeans_fit_predict(init_centroids=converged) is a fixed point: the
+    warm restart reproduces the cold fit's labels and centroids exactly
+    (Lloyd from converged centroids moves nothing), and a wrong K is
+    rejected at trace time."""
+    import pytest
+    from rs_image_segmentation_tpu.models.kmeans import kmeans_fit_predict
+
+    x = jnp.asarray(rng.random((2000, 19)).astype(np.float32))
+    labels, st = kmeans_fit_predict(x, 5, seed=3)
+    labels2, st2 = kmeans_fit_predict(x, 5, init_centroids=st.centroids)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(labels2))
+    np.testing.assert_array_equal(np.asarray(st.centroids),
+                                  np.asarray(st2.centroids))
+    assert int(st2.n_iter) <= 2       # convergence-gated: warm is instant
+    with pytest.raises(ValueError, match="init_centroids"):
+        kmeans_fit_predict(x, 4, init_centroids=st.centroids)

@@ -703,3 +703,49 @@ def test_rule_overflow_reroute(monkeypatch):
                                   hists=hist.astype(np.int64))
     np.testing.assert_array_equal(got, want)
     assert got.any()   # the corrupted all-zeros map did NOT leak through
+
+
+def test_kmeans_warm_start_requires_shared_fit():
+    with pytest.raises(ValueError, match="kmeans_shared_fit"):
+        EngineConfig(kmeans_warm_start=True)
+
+
+def test_kmeans_warm_start_engine():
+    """kmeans_warm_start (round 5): the second dispatched batch's shared
+    fit starts from the first batch's converged centroids — bit-matching
+    a direct warm chain through kmeans_scenes_turbo_batch(init_cents=...),
+    so cluster ids stay stable across batches (the production property)."""
+    import jax.numpy as jnp
+
+    from rs_image_segmentation_tpu.core.config import CalibrationConfig
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        build_stretch_stats)
+    from rs_image_segmentation_tpu.pipeline.turbo import (
+        kmeans_scenes_turbo_batch)
+
+    scenes = _scenes(2, seed=41)
+    ecfg = EngineConfig(max_batch=2, batch_window_ms=2000.0, buckets=(2,),
+                        kmeans_shared_fit=True, kmeans_warm_start=True)
+    with InferenceEngine(method="kmeans", n_clusters=4, cfg=SMALL_CFG,
+                         engine_cfg=ecfg) as eng:
+        futs = [eng.submit(s) for s in scenes]
+        outs1 = [f.result(timeout=600) for f in futs]
+        futs = [eng.submit(s) for s in scenes]      # same scenes again
+        outs2 = [f.result(timeout=600) for f in futs]
+        assert eng.stats()["batches"] == 2
+
+    cal = CalibrationConfig()
+    gains, biases = np.asarray(cal.gains), np.asarray(cal.biases)
+    st = [build_stretch_stats(s, gains, biases) for s in scenes]
+    args = (jnp.asarray(np.stack(scenes)),
+            jnp.asarray(np.stack([p[0] for p in st]).astype(np.uint8)))
+    kw = dict(n_clusters=4, cfg=SMALL_CFG, fit_stride=ecfg.kmeans_fit_stride,
+              stretch_params=jnp.asarray(np.stack([p[1] for p in st])),
+              stretch_hists=jnp.asarray(np.stack([p[2] for p in st])),
+              shared_fit=True, return_cents=True)
+    maps1, cents1 = kmeans_scenes_turbo_batch(*args, **kw)
+    maps2, _ = kmeans_scenes_turbo_batch(*args, **kw,
+                                         init_cents=cents1)
+    for i in range(2):
+        np.testing.assert_array_equal(outs1[i], np.asarray(maps1)[i])
+        np.testing.assert_array_equal(outs2[i], np.asarray(maps2)[i])
