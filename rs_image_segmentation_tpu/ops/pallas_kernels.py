@@ -793,15 +793,22 @@ def forest_labels_pallas(gf, x_cm: jnp.ndarray, block_n: int = 1024,
 _CC_BH = 256  # max strip rows: sublane-aligned, (bh, W) i32 strips in VMEM
 
 
-def _cc_strip_rows(wp: int) -> int:
+def _cc_strip_rows(wp: int, cache_masks: bool = True) -> int:
     """Strip height that keeps the kernel inside scoped VMEM: ~8.5 live
-    i32 buffers of (bh, wp) plus ~36 cached int8 scan masks (70 bytes/px
-    total), halved until <=14 MB; the floor of 8 rows covers masks up to
-    ~25k px wide. 256 beats 128 on multi-strip images (fewer outer
-    passes: 30.1 -> 25.0 ms on the 24-mask tall stack) and is neutral on
-    single 600-px masks."""
-    bh = _CC_BH
-    while bh > 8 and bh * wp * 70 > 14e6:
+    i32 buffers of (bh, wp) plus, when ``cache_masks``, ~36 cached int8
+    scan masks (70 vs ~34 bytes/px total), halved until <=14 MB; the
+    floor of 8 rows covers masks up to ~25k px wide. 256 beats 128 on
+    multi-strip images (fewer outer passes: 30.1 -> 25.0 ms on the
+    24-mask tall stack) and is neutral on single 600-px masks.
+
+    ``cache_masks=False`` recomputes the scan blocked-masks on the fly
+    (2x the scan ops) but the freed VMEM doubles the strip height —
+    round-5 tracing showed per-pass cost is dominated by per-grid-step
+    fixed overhead (~59 us/strip at 57 strips), not scan arithmetic, so
+    fewer/taller strips win on tall multi-mask stacks."""
+    bh = _CC_BH if cache_masks else 2 * _CC_BH
+    bytes_px = 70 if cache_masks else 34
+    while bh > 8 and bh * wp * bytes_px > 14e6:
         bh //= 2
     return bh
 
@@ -870,8 +877,31 @@ def _cc_seg_min(v, fg, axis: int, limit: int, masks_fwd, masks_bwd):
                                scan(v, True, masks_bwd)), big)
 
 
-def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
-                     fg_ref, lab_ref, out_ref, chg_ref):
+def _cc_seg_min_nocache(v, fg, axis: int, limit: int):
+    """:func:`_cc_seg_min` with the blocked-masks computed inline (the
+    classic fused segmented doubling scan): ~2x the vector ops per step,
+    but no (log2(limit) x strip) int8 mask storage — the freed VMEM lets
+    the caller double the strip height, which round-5 tracing showed is
+    the dominant cost axis (per-grid-step overhead, not scan math)."""
+    big = jnp.asarray(jnp.iinfo(v.dtype).max, v.dtype)
+
+    def scan(v0, rev):
+        v_ = v0
+        blk = jnp.logical_not(fg).astype(jnp.int8)
+        d = 1
+        while d < limit:
+            v_sh = _cc_shift(v_, d, axis, rev, big)
+            v_ = jnp.where(blk != 0, v_, _vmin(v_, v_sh))
+            d *= 2
+            if d < limit:
+                blk = blk | _cc_shift(blk, d // 2, axis, rev, 0)
+        return v_
+
+    return jnp.where(fg, _vmin(scan(v, False), scan(v, True)), big)
+
+
+def _cc_strip_kernel(n_inner: int, conn: int, cache_masks: bool, act_ref,
+                     top_ref, bot_ref, fg_ref, lab_ref, out_ref, chg_ref):
     ldt = lab_ref.dtype
     big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
     # halo/activity arrays ride whole ((n_strips, WP) is KB-scale; a
@@ -924,10 +954,13 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
             big)
 
         # scan blocked-masks depend only on fg: build once per activation
-        rows_f = _cc_reach_masks(fg, 1, wp, False)
-        rows_b = _cc_reach_masks(fg, 1, wp, True)
-        cols_f = _cc_reach_masks(fg, 0, bh, False)
-        cols_b = _cc_reach_masks(fg, 0, bh, True)
+        # (cache_masks=False trades 2x scan ops for 2x-taller strips —
+        # the per-grid-step overhead dominates on tall stacks)
+        if cache_masks:
+            rows_f = _cc_reach_masks(fg, 1, wp, False)
+            rows_b = _cc_reach_masks(fg, 1, wp, True)
+            cols_f = _cc_reach_masks(fg, 0, bh, False)
+            cols_b = _cc_reach_masks(fg, 0, bh, True)
 
         def one_round(lab):
             # within-strip vertical/horizontal adjacency is subsumed by
@@ -945,8 +978,11 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
                 nm = jnp.where(fg, _vmin(lab, diag), big)
             else:
                 nm = lab
-            nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
-            return _cc_seg_min(nm, fg, 0, bh, cols_f, cols_b)
+            if cache_masks:
+                nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
+                return _cc_seg_min(nm, fg, 0, bh, cols_f, cols_b)
+            nm = _cc_seg_min_nocache(nm, fg, 1, wp)
+            return _cc_seg_min_nocache(nm, fg, 0, bh)
 
         def body(state):
             lab, _, it = state
@@ -964,7 +1000,8 @@ def _cc_strip_kernel(n_inner: int, conn: int, act_ref, top_ref, bot_ref,
 
 def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
                connectivity: int, max_outer: int, n_inner: int,
-               jump: bool, interpret: bool) -> jnp.ndarray:
+               jump: bool, interpret: bool,
+               cache_masks: bool = True, sweep: bool = False) -> jnp.ndarray:
     """Shared driver: min-propagate ``lab`` over fg-connected regions.
 
     ``fg``/``lab``: padded (hp, wp) with hp a multiple of the strip
@@ -986,13 +1023,14 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
     assert not jump or ldt == jnp.int32  # pointer-jump needs linear indices
     big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
     hp, wp = lab.shape
-    bh = _cc_strip_rows(wp)
+    bh = _cc_strip_rows(wp, cache_masks)
     n_strips = hp // bh
     fg_u8 = fg.astype(jnp.uint8)
 
     grid = (n_strips,)
     call = pl.pallas_call(
-        functools.partial(_cc_strip_kernel, n_inner, connectivity),
+        functools.partial(_cc_strip_kernel, n_inner, connectivity,
+                          cache_masks),
         out_shape=(jax.ShapeDtypeStruct((hp, wp), ldt),
                    jax.ShapeDtypeStruct((n_strips, 1), jnp.int32)),
         grid=grid,
@@ -1071,7 +1109,104 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
                           bot_f.astype(jnp.int32), fg_u8, lab)
         return new, next_active(new, still), it + 1
 
-    state = (lab, jnp.ones((n_strips,), jnp.int32), 0)  # all active first
+    if sweep and n_strips > 1:
+        # SEQUENTIAL down then up sweep (lax.scan over strips, the
+        # converged boundary row as carry): strip i consumes strip i-1's
+        # UPDATED labels within ONE pass, so information crosses the
+        # whole image in two sweeps instead of one strip boundary per
+        # halo-exchange pass. Round-5 convergence profiling showed the
+        # gated passes 2-4 still re-converge most strips (9.2 + 7.4 +
+        # 4.9 + 2.1 + 0.5 ms on the 24-mask stack); the sweeps do that
+        # work once. Monotone min-propagation converges to the same
+        # fixed point under ANY schedule; the gated loop below then
+        # starts from the sweep-derived activity (usually all-inactive)
+        # instead of all-active, so a converged sweep pays ZERO extra
+        # kernel passes.
+        call1 = pl.pallas_call(
+            functools.partial(_cc_strip_kernel, n_inner, connectivity,
+                              cache_masks),
+            out_shape=(jax.ShapeDtypeStruct((bh, wp), ldt),
+                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bh, wp), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            interpret=interpret,
+        )
+        one = jnp.ones((1, 1), jnp.int32)
+        big32 = jnp.iinfo(jnp.int32).max
+        big_row = jnp.full((1, wp), big32, jnp.int32)
+        fg3 = fg_u8.reshape(n_strips, bh, wp)
+
+        def _carry_cand(carry):
+            # same diagonal-inclusive candidate the kernel injects
+            if connectivity == 8:
+                sr = jnp.concatenate([jnp.full((1, 1), big32, jnp.int32),
+                                      carry[:, :-1]], axis=1)
+                sl = jnp.concatenate([carry[:, 1:],
+                                      jnp.full((1, 1), big32, jnp.int32)],
+                                     axis=1)
+                return jnp.minimum(carry, jnp.minimum(sr, sl))
+            return carry
+
+        def _sweep(lab_in, down: bool, prev_chg=None):
+            def sbody(carry, xs):
+                fg_s, lab_s, pchg = xs
+                top = carry if down else big_row
+                bot = big_row if down else carry
+                if prev_chg is not None:
+                    # run iff the carried boundary improves this strip's
+                    # adjacent row (a locally-converged strip with no
+                    # boundary improvement is an exact no-op) OR the
+                    # previous sweep left it at its inner-round bound
+                    # still changing (pchg — without it a non-converged
+                    # strip would be skipped and the fixed point missed)
+                    edge_row = (lab_s[:1] if down else lab_s[-1:]
+                                ).astype(jnp.int32)
+                    act = (jnp.any((edge_row != big32)
+                                   & (_carry_cand(carry) < edge_row))
+                           | (pchg != 0)).astype(jnp.int32)[None, None]
+                else:
+                    act = one
+                new, chg = call1(act, top, bot, fg_s, lab_s)
+                # a skipped strip keeps its previous still-changing flag
+                # (the kernel writes 0 for skips, but pchg came from a
+                # sweep that DID run it past the bound)
+                chg_out = jnp.maximum(chg[0, 0],
+                                      pchg * (1 - act[0, 0]))
+                edge = (new[-1:] if down else new[:1]).astype(jnp.int32)
+                return edge, (new, chg_out)
+
+            pc = (jnp.zeros((n_strips,), jnp.int32) if prev_chg is None
+                  else prev_chg)
+            _, (labs, chgs) = jax.lax.scan(
+                sbody, big_row,
+                (fg3, lab_in.reshape(n_strips, bh, wp), pc),
+                reverse=not down)
+            return labs.reshape(hp, wp), chgs
+
+        lab, chgs_d = _sweep(lab, True)
+        lab, chgs = _sweep(lab, False, prev_chg=chgs_d)
+        act0 = next_active(lab, chgs[:, None])
+    else:
+        act0 = jnp.ones((n_strips,), jnp.int32)        # all active first
+
+    state = (lab, act0, 0)
     lab, _, _ = jax.lax.while_loop(
         lambda s: jnp.any(s[1] != 0) & (s[2] < max_outer), body, state)
     return lab
@@ -1113,14 +1248,56 @@ def cc_pallas(mask: jnp.ndarray, connectivity: int = 8,
     return jnp.where(fg_hw, lab[:h, :w], -1)
 
 
+def _coarse_seed(fg: jnp.ndarray, v: jnp.ndarray, connectivity: int,
+                 factor: int, max_outer: int, n_inner: int,
+                 interpret: bool) -> jnp.ndarray:
+    """Refine ``v`` (big at bg) by a min-propagation over the SOLID-CELL
+    coarse graph: cell = factor x factor block, solid iff every pixel is
+    foreground; coarse value = min over the cell. Solid-cell adjacency
+    under-approximates fine connectivity (two edge-adjacent solid cells
+    share a factor-long fine border; diagonal solid cells touch at
+    corner pixels, which are 8-adjacent), so every value a cell receives
+    is the min over a fine-connected set containing it — >= the fine
+    component minimum, <= the original seed. Min-propagation is monotone,
+    so seeding fine pixels of solid cells with the coarse result leaves
+    the fixed point unchanged while starting the fine pass ~factor x
+    closer to convergence (VERDICT r4 #2: long chains crossed at 1/16th
+    the per-round cost). Returns the improved fine seed."""
+    ldt = v.dtype
+    big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
+    hp, wp = v.shape                      # multiples of factor by callers
+    f = factor
+    solid = jax.lax.reduce_window(fg, True, jax.lax.bitwise_and,
+                                  (f, f), (f, f), "VALID")
+    vc = jax.lax.reduce_window(v, big, jax.lax.min, (f, f), (f, f), "VALID")
+    vc = jnp.where(solid, vc, big)
+    hc, wc = vc.shape
+    bh = _cc_strip_rows(wc + (-wc) % _LANE)
+    hcp = hc + (-hc) % bh
+    wcp = wc + (-wc) % _LANE
+    solid_p = jnp.pad(solid, ((0, hcp - hc), (0, wcp - wc)))
+    vc_p = jnp.where(solid_p,
+                     jnp.pad(vc, ((0, hcp - hc), (0, wcp - wc)),
+                             constant_values=big), big)
+    vc_out = _ccmin_run(solid_p, vc_p, wc, connectivity, max_outer,
+                        n_inner, jump=False,
+                        interpret=interpret)[:hc, :wc]
+    up = jnp.repeat(jnp.repeat(vc_out, f, axis=0), f, axis=1)
+    take = jnp.repeat(jnp.repeat(solid, f, axis=0), f, axis=1) & fg
+    return jnp.where(take, _vmin(v, up), v)
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_outer",
                                              "n_inner", "interpret",
-                                             "dtype"))
+                                             "dtype", "coarse",
+                                             "cache_masks", "sweep"))
 def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
                       connectivity: int = 8, max_outer: int = 128,
                       n_inner: int = 16,
                       interpret: bool = False,
-                      dtype=jnp.int32) -> jnp.ndarray:
+                      dtype=jnp.int32, coarse: int = 0,
+                      cache_masks: bool = True,
+                      sweep: bool = False) -> jnp.ndarray:
     """Per-component minimum of ``values`` over the connected components
     of ``mask``: every foreground pixel gets min(values over its
     component); background -1. Same strip kernel as :func:`cc_pallas`
@@ -1139,11 +1316,24 @@ def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
     component's dense id (the root-flag cumsum evaluated at the root,
     which is the component minimum of that cumsum because the cumsum is
     nondecreasing over linear index and the root is the component's
-    minimum linear index)."""
+    minimum linear index).
+
+    ``coarse``: 0 disables; a factor f (e.g. 4) first min-propagates over
+    the f x f SOLID-CELL coarse graph and seeds solid-cell pixels with
+    the result (:func:`_coarse_seed` — exact: the fixed point is
+    unchanged), so large blobby components converge in coarse rounds at
+    1/f^2 the cost and the fine pass only cleans up boundaries.
+    Measured neutral on the rule-batch stacks (the cost there is
+    per-grid-step overhead, not convergence) — kept for pathological
+    geometries.
+
+    ``cache_masks=False`` recomputes scan blocked-masks inline, freeing
+    enough VMEM to double the strip height (fewer grid steps AND fewer
+    outer passes — see :func:`_cc_strip_rows`)."""
     h, w = mask.shape
     fg_hw = mask != 0
     big = jnp.asarray(jnp.iinfo(dtype).max, dtype)
-    bh = _cc_strip_rows(w + (-w) % _LANE)
+    bh = _cc_strip_rows(w + (-w) % _LANE, cache_masks)
     hp = h + (-h) % bh
     wp = w + (-w) % _LANE
     fg = jnp.pad(fg_hw, ((0, hp - h), (0, wp - w)))
@@ -1151,8 +1341,14 @@ def ccmin_prop_pallas(mask: jnp.ndarray, values: jnp.ndarray,
                       jnp.int32(jnp.iinfo(dtype).max))
     v = jnp.pad(v32.astype(dtype), ((0, hp - h), (0, wp - w)))
     v = jnp.where(fg, v, big)
+    if coarse:
+        # hp is a strip-height multiple and wp a lane multiple, both
+        # divisible by any power-of-two factor <= 128; padding is bg
+        v = _coarse_seed(fg, v, connectivity, coarse, max_outer, n_inner,
+                         interpret)
     v = _ccmin_run(fg, v, w, connectivity, max_outer, n_inner,
-                   jump=False, interpret=interpret)
+                   jump=False, interpret=interpret,
+                   cache_masks=cache_masks, sweep=sweep)
     return jnp.where(fg_hw, v[:h, :w].astype(jnp.int32), -1)
 
 

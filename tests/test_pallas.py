@@ -439,3 +439,58 @@ def test_remove_small_components_batch_overflow_flag():
     with pytest.raises(ValueError, match="multiple of 128"):
         remove_small_components_batch(jnp.asarray(m), ma, bins=100,
                                       impl="pallas")
+
+
+def test_ccmin_prop_coarse_seed_bit_identical(rng):
+    """Coarse-to-fine seeding (round-5 VERDICT #2): a min-propagation
+    over the solid-cell coarse graph refines the seed without changing
+    the fixed point — outputs must be bit-identical to the unseeded
+    propagation for any factor and connectivity."""
+    import jax
+
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        ccmin_prop_pallas)
+    interp = jax.default_backend() != "tpu"
+    base = rng.random((16, 16)) > 0.45
+    m = np.kron(base, np.ones((8, 8), bool))
+    m ^= rng.random((128, 128)) > 0.97          # speckle edges
+    m = m.astype(np.uint8)
+    v = rng.integers(0, 1000, (128, 128)).astype(np.int32)
+    for conn in (8, 4):
+        ref = np.asarray(ccmin_prop_pallas(jnp.asarray(m), jnp.asarray(v),
+                                           connectivity=conn,
+                                           interpret=interp))
+        for f in (2, 4):
+            got = np.asarray(ccmin_prop_pallas(
+                jnp.asarray(m), jnp.asarray(v), connectivity=conn,
+                interpret=interp, coarse=f))
+            np.testing.assert_array_equal(ref, got)
+
+
+def test_ccmin_prop_sweep_bit_identical(rng):
+    """The sequential down/up boundary sweep (round-5 VERDICT #2; the
+    production setting of remove_small_components_batch) must be
+    bit-identical to the pure halo-exchange schedule on a MULTI-STRIP
+    mask, including at a low inner-round bound (the chg-flag threading
+    that a skipped up-sweep strip must preserve — the round-5 bug this
+    pins)."""
+    import jax
+
+    from rs_image_segmentation_tpu.ops.pallas_kernels import (
+        _cc_strip_rows, ccmin_prop_pallas)
+    interp = jax.default_backend() != "tpu"
+    h, w = 600, 128
+    assert h > 2 * _cc_strip_rows(w)        # sweep path really engages
+    base = rng.random((75, 16)) > 0.4
+    m = np.kron(base, np.ones((8, 8), bool))
+    m ^= rng.random((h, w)) > 0.97
+    m = m.astype(np.uint8)
+    v = rng.integers(0, 30000, (h, w)).astype(np.int32)
+    for conn, n_inner in ((8, 16), (8, 2), (4, 16)):
+        ref = np.asarray(ccmin_prop_pallas(
+            jnp.asarray(m), jnp.asarray(v), connectivity=conn,
+            interpret=interp, n_inner=n_inner))
+        got = np.asarray(ccmin_prop_pallas(
+            jnp.asarray(m), jnp.asarray(v), connectivity=conn,
+            interpret=interp, n_inner=n_inner, sweep=True))
+        np.testing.assert_array_equal(ref, got)
