@@ -26,10 +26,13 @@ reference stage-3 method branches (3_classification.py:335-485), plus a
     sustained streams are tunnel-transfer-capped, so the device figures
     are the ones that track code changes).
   * large scene: a 6000x6000x7 scene (100x the bundled scene, tiled
-    from AA.tif with per-tile DN rolls) through the memory-bounded
-    tiled pipeline; the recorded figure is the warm steady-state of a
-    SECOND distinct 36 MP scene in the same process (the long-lived
-    deployment shape) -> large_scene_* fields.
+    from AA.tif with per-tile DN rolls) through the transfer-overlapped
+    tiled pipeline (classify_large_scene_streamed: raw chunks stream
+    two-deep ahead of the LUT + pass-B/C programs — the 252 MB H2D
+    hides the preprocess and global passes; bit-identical to the
+    monolithic path, tested); the recorded figure is the warm
+    steady-state of a SECOND distinct 36 MP scene in the same process
+    (the long-lived deployment shape) -> large_scene_* fields.
 
 Accuracy gates (ALL must pass or the process exits 2):
   - random_forest: Kappa vs the bundled 33-px ROI within 0.5% of the
@@ -414,34 +417,34 @@ def main() -> None:
 
     # --- 36 MP large scene: warm steady-state ------------------------------
     # (reference large-raster surface: the tiled 19-band GeoTIFF writer,
-    # 2_feature_extraction.py:240-258; SURVEY §6 north star >= 50x)
+    # 2_feature_extraction.py:240-258; SURVEY §6 north star >= 50x).
+    # Round 5: the transfer-overlapped e2e path — raw chunks stream
+    # two-deep ahead of the LUT + pass-B/C programs, global stats from
+    # host raw histograms, pass D from resident stretched chunks
+    # (pipeline.large_scene.classify_large_scene_streamed; bit-identical
+    # to the monolithic preprocess_large -> classify_large_scene path,
+    # tested). The monolithic path measured 4.53 s warm on the same day
+    # this path measured ~3.1 s (profile_large_scene.py).
     from rs_image_segmentation_tpu.pipeline.large_scene import (
-        classify_large_scene, preprocess_large)
+        classify_large_scene_streamed)
     big = _tiled_scene(arr, LARGE_REPS, 0)
     mp_large = big.shape[1] * big.shape[2] / 1e6
     t0 = time.perf_counter()
-    pre_l, hists_l = preprocess_large(big, cal, return_device=True,
-                                      return_hist=True)
-    jax.device_get(pre_l[0, :1, :1])
-    out_l = classify_large_scene(pre_l, gf, cfg, tile_rows=504,
-                                 hists=hists_l)
+    out_l = classify_large_scene_streamed(big, gf, cal, cfg, tile_rows=504)
     t_large_first = time.perf_counter() - t0
     ok_labels = set(np.unique(out_l)) <= {1, 2, 3}
-    del big, pre_l, hists_l, out_l
+    del big, out_l
     # warm steady-state: a DIFFERENT 36 MP scene in the same process
     big2 = _tiled_scene(arr, LARGE_REPS, 7)
     t0 = time.perf_counter()
-    pre_l2, hists_l2 = preprocess_large(big2, cal, return_device=True,
-                                        return_hist=True)
-    jax.device_get(pre_l2[0, :1, :1])
-    out_l2 = classify_large_scene(pre_l2, gf, cfg, tile_rows=504,
-                                  hists=hists_l2)
+    out_l2 = classify_large_scene_streamed(big2, gf, cal, cfg,
+                                           tile_rows=504)
     t_large_warm = time.perf_counter() - t0
     large_mps = mp_large / t_large_warm
     large_gate = bool(ok_labels
                       and set(np.unique(out_l2)) <= {1, 2, 3}
                       and large_mps >= 2.9)
-    del big2, pre_l2, hists_l2, out_l2
+    del big2, out_l2
 
     gate_ok = rf_gate and km_gate and rb_gate and large_gate
 

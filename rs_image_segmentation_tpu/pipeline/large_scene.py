@@ -378,9 +378,22 @@ def _tile_src(arr_np: np.ndarray):
     n_tiles transfers, each serialized on this environment's tunnel RTT —
     measured 20x slower than compute at 36 MP). Scenes <= 2 GB (u8) live
     on device whole and tiles are device-side slices; larger scenes keep
-    the bounded-memory streaming behavior."""
+    the bounded-memory streaming behavior.
+
+    Large resident scenes ship as ~25 MB row chunks rather than one
+    monolithic put: chunked transfers pipeline through this
+    environment's tunnel measurably faster (252 MB measured 113 vs 82
+    MB/s, benchmarks/profile_large_scene.py) and the device concat is
+    one HBM copy (~ms); bytes identical either way."""
     if arr_np.nbytes <= DEVICE_RESIDENT_MAX_BYTES:
-        return jnp.asarray(arr_np)
+        if arr_np.nbytes < (64 << 20):
+            return jnp.asarray(arr_np)
+        c, h, w = arr_np.shape
+        rows = max(1, (25 << 20) // (c * w * arr_np.itemsize))
+        parts = [jax.device_put(np.ascontiguousarray(
+            arr_np[:, y0:y0 + rows])) for y0 in range(0, h, rows)]
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
     return arr_np
 
 
@@ -884,6 +897,191 @@ def classify_large_scene(arr: np.ndarray, gf: GemmForest,
         if writer is not None:
             writer.write_rows(out[p0:p0 + prows])
     for y0, rows, dev in pending:  # drain once: tiles pipeline on device
+        out[y0:y0 + rows] = np.asarray(dev)
+        if writer is not None:
+            writer.write_rows(out[y0:y0 + rows])
+    return out
+
+
+def classify_large_scene_streamed(arr: np.ndarray, gf: GemmForest,
+                                  cal: CalibrationConfig = CalibrationConfig(),
+                                  cfg: FeatureStageConfig = FeatureStageConfig(),
+                                  tile_rows: int = 504,
+                                  writer=None) -> np.ndarray:
+    """RAW (7, H, W) uint8 HOST scene -> (H, W) labels, with the scene's
+    H2D transfer tile-streamed UNDER preprocess + pass-B/C compute.
+
+    The monolithic warm path (``preprocess_large(return_device=True)`` ->
+    ``classify_large_scene``) serializes one whole-scene ``device_put``
+    (252 MB at 36 MP — ~2.5 s through this environment's tunnel) before
+    any compute starts. Here (round-5 VERDICT #7):
+
+      * global statistics come from the HOST raw histograms
+        (``build_stretch_stats`` — native bincount, ~100 ms at 36 MP,
+        overlapped with the first chunk transfers), which are exact: the
+        stretched-value histogram is the raw-DN bincount pushed through
+        the per-DN LUT, bit-identical to the device histogram pass
+        (tested at stage shapes);
+      * raw row chunks ship two-deep ahead of the compute stream, each
+        followed immediately by its LUT kernel and (one chunk behind) the
+        merged pass-B/C tile program — programs execute in launch order,
+        so chunk i+1's DMA overlaps chunk i's kernels with no host syncs
+        until the tiny pass-B/C drains;
+      * pass D then classifies from the device-resident stretched chunks
+        (tiles assembled by edge-row concat, never re-shipped).
+
+    Labels are bit-identical to the monolithic warm path: same LUT, same
+    histograms, same per-tile program signatures with identical inputs
+    (tested on a multi-tile scene).
+
+    ``writer``: optional ``io.tiff.TiffTileStreamWriter``, same contract
+    as :func:`classify_large_scene`."""
+    from rs_image_segmentation_tpu.pipeline.preprocess import (
+        _apply_lut, build_stretch_stats)
+
+    c, h, w = arr.shape
+    step = cfg.glcm.step_size
+    if tile_rows % step:
+        raise ValueError(f"tile_rows must be a multiple of {step}")
+    y0s = list(range(0, h, tile_rows))
+    n_chunks = len(y0s)
+
+    def put(i):
+        y0 = y0s[i]
+        return jax.device_put(np.ascontiguousarray(
+            arr[:, y0:min(h, y0 + tile_rows), :]))
+
+    # first transfers fly while the host builds the exact global stats
+    raw = {0: put(0)}
+    if n_chunks > 1:
+        raw[1] = put(1)
+    lut, sp, hists = build_stretch_stats(arr, cal.gains, cal.biases)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from rs_image_segmentation_tpu.ops.pallas_kernels import (
+            lut_hist_pallas)
+        lut_d = jax.device_put(lut.astype(np.uint8))
+        sp_d = jax.device_put(sp)
+
+        def apply_lut(chunk):
+            return lut_hist_pallas(chunk, lut_d, out_u8=True, sp=sp_d,
+                                   skip_hist=True)
+    else:
+        lut_d = jax.device_put(jnp.asarray(lut))
+
+        def apply_lut(chunk):
+            return _apply_lut(chunk, lut_d)
+
+    stats = compute_global_stats(arr, cfg, hists=hists.astype(np.int64))
+    p_lo, p_hi = jnp.asarray(stats.p_lo), jnp.asarray(stats.p_hi)
+    med, iqr = jnp.asarray(stats.median), jnp.asarray(stats.iqr)
+    window = cfg.glcm.window_size
+    n_i = (h - window) // step + 1
+    n_j = (w - window) // step + 1
+    tb = cfg.texture_band_index
+
+    def bc_tile(tile, y0, rows, glcm_rows):
+        return _tile_globals(tile, p_lo, p_hi, med, iqr,
+                             jnp.float32(stats.tex_lo),
+                             jnp.float32(stats.tex_hi),
+                             lo=y0 - max(0, y0 - 1), rows=rows,
+                             glcm_rows=glcm_rows, levels=cfg.glcm.levels,
+                             window=window, step=step,
+                             angles=cfg.glcm.angles, tb=tb, n_j=n_j)
+
+    st = []                       # device-resident stretched chunks
+    pending_bc = []
+
+    def dispatch_bc(i):
+        y0 = y0s[i]
+        rows = min(tile_rows, h - y0)
+        parts = []
+        if i > 0:
+            parts.append(st[i - 1][:, -1:, :])
+        parts.append(st[i])
+        if i + 1 < n_chunks:
+            parts.append(st[i + 1][:, :1, :])
+        tile = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+        glcm_rows = max(0, (rows - window) // step + 1) \
+            if y0 <= h - window else 0
+        pending_bc.append((y0, glcm_rows,
+                           bc_tile(tile, y0, rows, glcm_rows)))
+
+    for i in range(n_chunks):
+        if i + 2 < n_chunks:
+            raw[i + 2] = put(i + 2)       # keep two transfers in flight
+        st.append(apply_lut(raw.pop(i)))
+        if i >= 1:
+            dispatch_bc(i - 1)
+    dispatch_bc(n_chunks - 1)
+
+    # drain pass B/C with ONE stacked fetch per output kind; f64
+    # accumulation on host, per tile, in order (matches _global_passes)
+    contrast_grid = np.zeros((n_i, n_j), np.float32)
+    homog_grid = np.zeros((n_i, n_j), np.float32)
+    s1_acc = np.zeros(c, np.float64)
+    s2_acc = np.zeros((c, c), np.float64)
+    for t1 in np.asarray(jnp.stack([r[0] for _, _, r in pending_bc]),
+                         np.float64):
+        s1_acc += t1
+    for t2 in np.asarray(jnp.stack([r[1] for _, _, r in pending_bc]),
+                         np.float64):
+        s2_acc += t2
+    sobel_max = float(jnp.max(jnp.stack([r[4] for _, _, r in pending_bc])))
+    full = [(y0, g, r) for y0, g, r in pending_bc
+            if r[2].shape[0] == pending_bc[0][2][2].shape[0] and g > 0]
+    rest = [(y0, g, r) for y0, g, r in pending_bc
+            if r[2].shape[0] != pending_bc[0][2][2].shape[0] and g > 0]
+    for group in (full, rest):
+        if not group:
+            continue
+        cons = np.asarray(jnp.stack([r[2] for _, _, r in group]))
+        homs = np.asarray(jnp.stack([r[3] for _, _, r in group]))
+        for k, (y0, gl, _) in enumerate(group):
+            gi = y0 // step
+            contrast_grid[gi:gi + gl] = cons[k][:gl]
+            homog_grid[gi:gi + gl] = homs[k][:gl]
+    n = h * w
+    mean = s1_acc / n
+    cov = (s2_acc - n * np.outer(mean, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    comp1 = eigvecs[:, np.argsort(-eigvals)[0]]
+    if comp1[np.argmax(np.abs(comp1))] < 0:   # svd_flip sign convention
+        comp1 = -comp1
+    g = {"p_lo": stats.p_lo, "p_hi": stats.p_hi, "median": stats.median,
+         "iqr": stats.iqr, "tex_lo": np.float32(stats.tex_lo),
+         "tex_hi": np.float32(stats.tex_hi),
+         "pca_mean": mean.astype(np.float32),
+         "pca_comp1": comp1.astype(np.float32),
+         "sobel_max": np.float32(sobel_max),
+         "contrast_grid": contrast_grid, "homog_grid": homog_grid}
+
+    # ---- pass D over the resident stretched chunks
+    gd = _globals_device(g)
+    chunk = _gemm_chunk(gf.path.shape[1])
+    out_dt = _label_transfer_dtype(gf)
+    from rs_image_segmentation_tpu.models.forest import forest_tree_plan
+    plan = forest_tree_plan(gf)
+    pending = []
+    for i, y0 in enumerate(y0s):
+        rows = min(tile_rows, h - y0)
+        ys = max(0, y0 - HALO)
+        ye = min(h, y0 + rows + HALO)
+        parts = []
+        if i > 0:
+            parts.append(st[i - 1][:, -(y0 - ys):, :])
+        parts.append(st[i])
+        if i + 1 < n_chunks and ye > y0 + rows:
+            parts.append(st[i + 1][:, :ye - (y0 + rows), :])
+        tile = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+        dev = _classify_tile_cm(tile, y0, gd, gf, lo=int(y0 - ys),
+                                rows=rows, out_hw=(h, w), tb=tb,
+                                chunk=chunk, out_dt=out_dt, plan=plan)
+        pending.append((y0, rows, dev))
+    out = np.zeros((h, w), np.int32)
+    for y0, rows, dev in pending:   # tiles pipeline on device
         out[y0:y0 + rows] = np.asarray(dev)
         if writer is not None:
             writer.write_rows(out[y0:y0 + rows])

@@ -597,3 +597,28 @@ def test_classify_large_scene_sharded_multi_tile(rng, aa_scene):
     big2 = np.ascontiguousarray(np.roll(big, 29, axis=2))
     _ = classify_large_scene_sharded(big2, gf, Mesh(devs, ("tile",)), cfg)
     assert _sharded_classify._cache_size() == before
+
+
+def test_classify_large_scene_streamed_e2e_bit_identical(rng, aa_scene):
+    """The transfer-overlapped e2e path (round-5 VERDICT #7: raw host
+    scene -> chunked H2D under LUT + pass-B/C compute -> pass D from
+    resident stretched chunks, global stats from host raw histograms)
+    must be bit-identical to the monolithic warm path
+    (preprocess_large -> classify_large_scene) on a multi-tile scene."""
+    from rs_image_segmentation_tpu.pipeline.large_scene import (
+        classify_large_scene_streamed, preprocess_large)
+    arr, _ = aa_scene
+    cal = CalibrationConfig()
+    cfg = FeatureStageConfig()
+    raw = np.ascontiguousarray(arr[:, :252, :252])
+    pre = np.asarray(preprocess_large(raw, cal))
+    stack = np.asarray(hierarchical_stack_fused(jnp.asarray(pre, jnp.float32),
+                                                cfg))
+    sel = rng.integers(0, 252, (60, 2))
+    forest, depth = fit_random_forest(stack[sel[:, 0], sel[:, 1], :],
+                                      rng.integers(1, 4, 60),
+                                      n_estimators=15, seed=0)
+    gf = _gemm_for(forest, 19)
+    ref = classify_large_scene(pre, gf, cfg, tile_rows=63)
+    got = classify_large_scene_streamed(raw, gf, cal, cfg, tile_rows=63)
+    np.testing.assert_array_equal(ref, got)
