@@ -2,12 +2,58 @@
 
 from __future__ import annotations
 
+import http.client
 import io
 import json
+import urllib.parse
 import urllib.request
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
+
+
+class ServingSession:
+    """Keep-alive client: one persistent HTTP/1.1 connection reused
+    across requests.
+
+    ``classify_array`` via module-level functions opens a fresh TCP
+    connection per request (urllib has no pooling) — measured as most of
+    the warm single-request latency over the 95 ms round-4 p50 (round-5
+    VERDICT #6 decomposition). The server speaks HTTP/1.1 keep-alive, so
+    a session amortizes connection setup to zero; it also surfaces the
+    server's X-Decode/Engine/Encode-Ms timing headers."""
+
+    def __init__(self, base_url: str, timeout: float = 300.0):
+        u = urllib.parse.urlparse(base_url)
+        self._conn = http.client.HTTPConnection(u.hostname, u.port,
+                                                timeout=timeout)
+        self.last_timing: dict = {}
+
+    def classify_array(self, scene: np.ndarray,
+                       method: Optional[str] = None) -> np.ndarray:
+        buf = io.BytesIO()
+        np.save(buf, np.asarray(scene))
+        path = "/v1/classify" + (f"?method={method}" if method else "")
+        self._conn.request("POST", path, body=buf.getvalue(),
+                           headers={"Content-Type": "application/x-npy"})
+        resp = self._conn.getresponse()
+        payload = resp.read()
+        self.last_timing = {
+            k: float(resp.headers[h]) for k, h in
+            [("decode_ms", "X-Decode-Ms"), ("engine_ms", "X-Engine-Ms"),
+             ("encode_ms", "X-Encode-Ms")] if resp.headers.get(h)}
+        if resp.status != 200:
+            raise RuntimeError(f"HTTP {resp.status}: {payload[:200]!r}")
+        return np.load(io.BytesIO(payload), allow_pickle=False)
+
+    def close(self) -> None:
+        self._conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def _post(url: str, body: bytes, ctype: str, timeout: float):

@@ -495,6 +495,10 @@ class InferenceEngine:
             # exactness contract; compile count stays bounded by
             # max_batch distinct sizes.
             b = n
+        elif method == "kmeans":
+            # per-scene fits dispatch through the SINGLE-SCENE program
+            # below (b = n: padding would be pure waste) — see there
+            b = n
         else:
             b = bucket if bucket is not None else self._bucket_for(n)
         # pad up by repeating the last scene: per-scene vmapped statistics
@@ -538,6 +542,28 @@ class InferenceEngine:
             if record_stats:    # warmup traffic must not seed real state
                 with self._lock:
                     self._km_cents[shape_key] = np.asarray(cents)
+        elif method == "kmeans" and not self._ecfg.kmeans_shared_fit:
+            # default per-scene-fit route: dispatch each scene through
+            # the SAME single-scene program the direct-request path
+            # compiles, regardless of how many arrived together. Two
+            # wins, both measured (round 5):
+            #   * determinism — batched f32 fit reductions (one-hot
+            #     centroid sums, PCA covariance) change accumulation
+            #     order with the bucket size on TPU, flipping 1-232
+            #     ulp-boundary pixels per 360k vs the single-request
+            #     path (soak caught it); one program => bit-identical
+            #     responses however requests are batched.
+            #   * throughput — the vmapped Lloyd while_loop runs every
+            #     lane to the SLOWEST lane's iteration count, so the
+            #     bucket-8 program costs 8.70 ms/scene where eight
+            #     enqueued single-scene programs cost 4.27 (dispatches
+            #     pipeline; the device never idles between them).
+            run = self._program_for(method, 1, batch.shape[1:])
+            outs = [run(jnp.asarray(batch[i:i + 1]),
+                        jnp.asarray(luts[i:i + 1]),
+                        jnp.asarray(sps[i:i + 1]),
+                        jnp.asarray(hists[i:i + 1])) for i in range(n)]
+            maps = jnp.concatenate(outs, axis=0)
         else:
             run = self._program_for(method, b, batch.shape[1:])
             maps = run(jnp.asarray(batch), jnp.asarray(luts),
@@ -548,7 +574,12 @@ class InferenceEngine:
             # overflow reroute below writes rows in place
             out = np.array(maps)[:n]
             ov = np.asarray(overflow)[:n]
-            if ov.any():
+            if ov.any() and not record_stats:
+                # warmup scenes are random noise (~H*W/4 runs — far past
+                # the cap by construction); their outputs are discarded,
+                # so paying the slow uncapped reroute would warm nothing
+                pass
+            elif ov.any():
                 # the batched min-area machinery hit its 32768-id cap on
                 # these scenes (dense speckle / very large rasters) —
                 # recompute them through the uncapped whole-image path.

@@ -749,3 +749,28 @@ def test_kmeans_warm_start_engine():
     for i in range(2):
         np.testing.assert_array_equal(outs1[i], np.asarray(maps1)[i])
         np.testing.assert_array_equal(outs2[i], np.asarray(maps2)[i])
+
+
+def test_kmeans_per_scene_program_routing():
+    """The default (per-scene-fit) kmeans route dispatches every scene
+    through the SINGLE-SCENE program whatever the arrival batch size
+    (round 5): on TPU the bucket-shaped batched fit changes f32
+    reduction order with the bucket, flipping ulp-boundary assignments
+    vs the single-request path (soak-caught), and the vmapped Lloyd
+    loop runs every lane to the slowest lane's iteration count (8.70 ->
+    4.27 ms/scene measured). Pins: (a) responses to a coalesced burst
+    bit-match individually-submitted ones; (b) only the bucket-1 kmeans
+    program exists afterwards."""
+    scenes = _scenes(3, seed=41)
+    ecfg = EngineConfig(max_batch=4, batch_window_ms=2000.0, buckets=(4,))
+    with InferenceEngine(method="kmeans", n_clusters=4, cfg=SMALL_CFG,
+                         engine_cfg=ecfg) as eng:
+        futs = [eng.submit(s) for s in scenes]
+        outs = [f.result(timeout=600) for f in futs]
+        assert eng.stats()["batches"] == 1          # one coalesced flush
+        singles = [eng.classify(s, timeout=600) for s in scenes]
+        progs = {(m, b) for m, b, _, *_ in
+                 [tuple(w) for w in eng.stats()["warm_programs"]]}
+    for got, ref in zip(outs, singles):
+        np.testing.assert_array_equal(got, ref)
+    assert progs == {("kmeans", 1)}
