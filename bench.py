@@ -18,9 +18,13 @@ reference stage-3 method branches (3_classification.py:335-485), plus a
     so the recorded sustained figure IS the environment's transfer cap
     (~61 MB/s = 8.7 MP/s on 2026-08-19; device compute is 2.27 ms/scene
     = 158 MP/s), and run-to-run movement in it is tunnel state.
-  * rule_based / kmeans: the same sustained 8-scene-batch protocol over
-    the fused batched programs (pipeline.turbo.rule_based_scenes_turbo_
-    batch / kmeans_scenes_turbo_batch) -> *_sustained_mp_per_s fields,
+  * rule_based / kmeans: the same sustained 8-scene-batch protocol ->
+    *_sustained_mp_per_s fields. rule uses the fused batched program
+    (pipeline.turbo.rule_based_scenes_turbo_batch); kmeans dispatches
+    per-scene single programs — the serving engine's shipping route
+    (round 5: the batched fit runs every vmapped Lloyd lane to the
+    slowest lane's iteration count and its f32 reduction order varies
+    with the bucket; singles are 2x faster AND bit-stable) —
     plus resident-input device compute per scene (*_device_ms_per_scene,
     same enqueue-20 RTT-subtracted protocol as the RF figure — the
     sustained streams are tunnel-transfer-capped, so the device figures
@@ -176,6 +180,8 @@ def main() -> None:
         # "blocks" in 0.03 ms); only a real D2H forces completion. Programs
         # execute in launch order on the single stream, so fetching one
         # element of an output proves everything enqueued before it ran.
+        if isinstance(o, (list, tuple)):
+            o = o[-1]
         np.asarray(jax.device_get(o.ravel()[-1:]))
 
     # distinct buffers so every round pays its own H2D
@@ -308,11 +314,20 @@ def main() -> None:
         rule_based_scenes_turbo, rule_based_scenes_turbo_batch)
 
     def run_km_pre(scenes_np, st):
+        # per-scene programs, the serving engine's shipping route
+        # (round 5): the bucket-shaped batched fit runs every vmapped
+        # Lloyd lane to the slowest lane's iteration count (8.70 vs
+        # 4.27 ms/scene) and its f32 reduction order varies with the
+        # bucket; singles pipeline through the stream just as well
         luts, sps, hists = st
-        return kmeans_scenes_turbo_batch(
-            jax.device_put(scenes_np), jax.device_put(luts), n_clusters=7,
-            cfg=cfg, stretch_params=jax.device_put(sps),
-            stretch_hists=jax.device_put(hists))
+        bd = jax.device_put(scenes_np)
+        ld = jax.device_put(luts)
+        sd = jax.device_put(sps)
+        hd = jax.device_put(hists)
+        return [kmeans_scenes_turbo_batch(
+            bd[i:i + 1], ld[i:i + 1], n_clusters=7, cfg=cfg,
+            stretch_params=sd[i:i + 1], stretch_hists=hd[i:i + 1])
+            for i in range(scenes_np.shape[0])]
 
     def run_km_batch(scenes_np):
         return run_km_pre(scenes_np, build_stats(scenes_np))
@@ -353,16 +368,17 @@ def main() -> None:
         km_streams.append(dt)
     km_sustained = ROUNDS_M * BATCH * mp / min(km_streams)
     ev = ClassificationEvaluator()
-    km_map = np.asarray(outs_k[0][0])
+    km_map = np.asarray(outs_k[0][0]).reshape(arr.shape[1], arr.shape[2])
     km_pred, km_truth = ev.extract_valid_samples(km_map, roi)
     km_mapped = ev.map_clusters_to_classes(km_pred, km_truth)
     _, km_kappa = _kappa(km_truth, km_mapped)
     km_gate = km_kappa >= 0.75
 
     km_dev_ms = _device_ms_per_scene(
-        lambda: kmeans_scenes_turbo_batch(
-            batch_d, luts_d, n_clusters=7, cfg=cfg,
-            stretch_params=sps0, stretch_hists=hists0))
+        lambda: [kmeans_scenes_turbo_batch(
+            batch_d[i:i + 1], luts_d[i:i + 1], n_clusters=7, cfg=cfg,
+            stretch_params=sps0[i:i + 1], stretch_hists=hists0[i:i + 1])
+            for i in range(BATCH)])
 
     # single-scene full-fit figure (back-compat field + sklearn anchor)
     lut0 = jax.device_put(build_stretch_lut(arr, gains, biases
