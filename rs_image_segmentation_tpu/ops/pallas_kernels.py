@@ -900,6 +900,86 @@ def _cc_seg_min_nocache(v, fg, axis: int, limit: int):
     return jnp.where(fg, _vmin(scan(v, False), scan(v, True)), big)
 
 
+def _cc_shift_r(x, fill):
+    return jnp.concatenate(
+        [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
+        axis=-1)
+
+
+def _cc_shift_l(x, fill):
+    return jnp.concatenate(
+        [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)],
+        axis=-1)
+
+
+def _cc_strip_converge(n_inner: int, conn: int, cache_masks: bool,
+                       fg, lab0, top, bot):
+    """Inner convergence of ONE strip given frozen (1, WP) halo rows
+    (big where absent). ``lab0`` already big at background. Returns
+    (labels, changing-at-inner-exit). Shared by the halo-exchange kernel
+    and the fused sweep kernel."""
+    ldt = lab0.dtype
+    big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
+    bh, wp = lab0.shape
+
+    # halos are FROZEN during the inner loop, so their full
+    # contribution (vertical + diagonal for 8-conn) is injected into
+    # the boundary rows ONCE; min-propagation carries it from there
+    if conn == 8:
+        top_c = _vmin(top, _vmin(_cc_shift_r(top, big),
+                                 _cc_shift_l(top, big)))
+        bot_c = _vmin(bot, _vmin(_cc_shift_r(bot, big),
+                                 _cc_shift_l(bot, big)))
+    else:
+        top_c, bot_c = top, bot
+    lab0 = jnp.where(
+        fg,
+        jnp.concatenate([_vmin(lab0[:1], top_c), lab0[1:-1],
+                         _vmin(lab0[-1:], bot_c)], axis=0),
+        big)
+
+    # scan blocked-masks depend only on fg: build once per activation
+    # (cache_masks=False trades 2x scan ops for 2x-taller strips —
+    # the per-grid-step overhead dominates on tall stacks)
+    if cache_masks:
+        rows_f = _cc_reach_masks(fg, 1, wp, False)
+        rows_b = _cc_reach_masks(fg, 1, wp, True)
+        cols_f = _cc_reach_masks(fg, 0, bh, False)
+        cols_b = _cc_reach_masks(fg, 0, bh, True)
+
+    def one_round(lab):
+        # within-strip vertical/horizontal adjacency is subsumed by
+        # the segmented scans (fg runs); only the four diagonals
+        # need explicit mins for 8-conn
+        if conn == 8:
+            up = jnp.concatenate(
+                [jnp.full((1, wp), big, ldt), lab[:-1]], axis=0)
+            dn = jnp.concatenate(
+                [lab[1:], jnp.full((1, wp), big, ldt)], axis=0)
+            diag = _vmin(_vmin(_cc_shift_r(up, big),
+                               _cc_shift_l(up, big)),
+                         _vmin(_cc_shift_r(dn, big),
+                               _cc_shift_l(dn, big)))
+            nm = jnp.where(fg, _vmin(lab, diag), big)
+        else:
+            nm = lab
+        if cache_masks:
+            nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
+            return _cc_seg_min(nm, fg, 0, bh, cols_f, cols_b)
+        nm = _cc_seg_min_nocache(nm, fg, 1, wp)
+        return _cc_seg_min_nocache(nm, fg, 0, bh)
+
+    def body(state):
+        lab, _, it = state
+        new = one_round(lab)
+        return new, jnp.any(new != lab), it + 1
+
+    lab, changing, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < n_inner), body,
+        (lab0, jnp.asarray(True), 0))
+    return lab, changing
+
+
 def _cc_strip_kernel(n_inner: int, conn: int, cache_masks: bool, act_ref,
                      top_ref, bot_ref, fg_ref, lab_ref, out_ref, chg_ref):
     ldt = lab_ref.dtype
@@ -920,82 +1000,79 @@ def _cc_strip_kernel(n_inner: int, conn: int, cache_masks: bool, act_ref,
     def _run():
         fg = fg_ref[...] != 0                              # (BH, WP)
         lab0 = jnp.where(fg, lab_ref[...], big)
-        bh, wp = lab0.shape
         # halo arrays ride as int32 regardless of the label dtype: Mosaic
         # rejects dynamically-indexed (1, WP) sub-lane i16 loads, and the
         # values fit either way (big == iinfo(ldt).max round-trips)
         top = top_ref[pl.ds(i, 1), :].astype(ldt)          # (1, WP)
         bot = bot_ref[pl.ds(i, 1), :].astype(ldt)
-
-        def shift_r(x, fill):
-            return jnp.concatenate(
-                [jnp.full(x.shape[:-1] + (1,), fill, x.dtype), x[..., :-1]],
-                axis=-1)
-
-        def shift_l(x, fill):
-            return jnp.concatenate(
-                [x[..., 1:], jnp.full(x.shape[:-1] + (1,), fill, x.dtype)],
-                axis=-1)
-
-        # halos are FROZEN during the inner loop, so their full
-        # contribution (vertical + diagonal for 8-conn) is injected into
-        # the boundary rows ONCE; min-propagation carries it from there
-        if conn == 8:
-            top_c = _vmin(top, _vmin(shift_r(top, big),
-                                     shift_l(top, big)))
-            bot_c = _vmin(bot, _vmin(shift_r(bot, big),
-                                     shift_l(bot, big)))
-        else:
-            top_c, bot_c = top, bot
-        lab0 = jnp.where(
-            fg,
-            jnp.concatenate([_vmin(lab0[:1], top_c), lab0[1:-1],
-                             _vmin(lab0[-1:], bot_c)], axis=0),
-            big)
-
-        # scan blocked-masks depend only on fg: build once per activation
-        # (cache_masks=False trades 2x scan ops for 2x-taller strips —
-        # the per-grid-step overhead dominates on tall stacks)
-        if cache_masks:
-            rows_f = _cc_reach_masks(fg, 1, wp, False)
-            rows_b = _cc_reach_masks(fg, 1, wp, True)
-            cols_f = _cc_reach_masks(fg, 0, bh, False)
-            cols_b = _cc_reach_masks(fg, 0, bh, True)
-
-        def one_round(lab):
-            # within-strip vertical/horizontal adjacency is subsumed by
-            # the segmented scans (fg runs); only the four diagonals
-            # need explicit mins for 8-conn
-            if conn == 8:
-                up = jnp.concatenate(
-                    [jnp.full((1, wp), big, ldt), lab[:-1]], axis=0)
-                dn = jnp.concatenate(
-                    [lab[1:], jnp.full((1, wp), big, ldt)], axis=0)
-                diag = _vmin(_vmin(shift_r(up, big),
-                                   shift_l(up, big)),
-                             _vmin(shift_r(dn, big),
-                                   shift_l(dn, big)))
-                nm = jnp.where(fg, _vmin(lab, diag), big)
-            else:
-                nm = lab
-            if cache_masks:
-                nm = _cc_seg_min(nm, fg, 1, wp, rows_f, rows_b)
-                return _cc_seg_min(nm, fg, 0, bh, cols_f, cols_b)
-            nm = _cc_seg_min_nocache(nm, fg, 1, wp)
-            return _cc_seg_min_nocache(nm, fg, 0, bh)
-
-        def body(state):
-            lab, _, it = state
-            new = one_round(lab)
-            return new, jnp.any(new != lab), it + 1
-
-        lab, changing, _ = jax.lax.while_loop(
-            lambda s: s[1] & (s[2] < n_inner), body,
-            (lab0, jnp.asarray(True), 0))
+        lab, changing = _cc_strip_converge(n_inner, conn, cache_masks,
+                                           fg, lab0, top, bot)
         out_ref[...] = lab
         # chg = "still changing at inner exit" (hit the n_inner bound):
         # such a strip must rerun even with identical halos
         chg_ref[i, 0] = changing.astype(jnp.int32)
+
+
+def _cc_sweep_kernel(n_inner: int, conn: int, cache_masks: bool,
+                     n_strips: int, down: bool, pchg_ref, fg_ref,
+                     lab_ref, out_ref, chg_ref, carry_ref):
+    """Fused sequential sweep: grid steps execute IN ORDER on the TPU
+    core, so the converged boundary row rides a VMEM scratch from one
+    strip to the next — the whole down (or up) sweep is ONE pallas_call
+    instead of n_strips separate dispatches (the lax.scan form paid
+    ~n_strips kernel launches + block reloads per sweep).
+
+    ``down``: grid step i processes strip i top-down, the carry is the
+    previous strip's UPDATED bottom row entering as this strip's top
+    halo; the up sweep reverses both (index_map n_strips-1-i, carry =
+    top row entering as bottom halo). ``pchg_ref``: per-strip
+    still-changing flags from the previous sweep — an up-sweep strip is
+    skipped as an exact no-op iff the carried boundary offers no
+    strictly smaller candidate than its adjacent row AND it converged
+    within the previous sweep's inner bound."""
+    ldt = lab_ref.dtype
+    big = jnp.asarray(jnp.iinfo(ldt).max, ldt)
+    big32 = jnp.int32(jnp.iinfo(jnp.int32).max)
+    i = pl.program_id(0)
+    strip = i if down else n_strips - 1 - i
+
+    @pl.when(i == 0)
+    def _init():
+        carry_ref[...] = jnp.full(carry_ref.shape, big32, jnp.int32)
+
+    fg = fg_ref[...] != 0
+    lab0 = jnp.where(fg, lab_ref[...], big)
+    carry = carry_ref[...]                              # (1, WP) int32
+
+    def _run():
+        top = carry.astype(ldt) if down else jnp.full(carry.shape, big, ldt)
+        bot = jnp.full(carry.shape, big, ldt) if down else carry.astype(ldt)
+        lab, changing = _cc_strip_converge(n_inner, conn, cache_masks,
+                                           fg, lab0, top, bot)
+        out_ref[...] = lab
+        chg_ref[strip, 0] = changing.astype(jnp.int32)
+        carry_ref[...] = (lab[-1:] if down else lab[:1]).astype(jnp.int32)
+
+    if down:
+        _run()          # first pass over fresh seeds: every strip runs
+    else:
+        # diagonal-inclusive carried candidate vs the adjacent edge row
+        cand = (_vmin(carry, _vmin(_cc_shift_r(carry, big32),
+                                   _cc_shift_l(carry, big32)))
+                if conn == 8 else carry)
+        edge = lab0[-1:].astype(jnp.int32)
+        act = (jnp.any((edge != big32) & (cand < edge))
+               | (pchg_ref[strip, 0] != 0))
+
+        @pl.when(jnp.logical_not(act))
+        def _skip():
+            out_ref[...] = lab_ref[...]
+            # a skipped strip keeps its previous still-changing flag and
+            # passes its (unchanged) edge row along the carry
+            chg_ref[strip, 0] = pchg_ref[strip, 0]
+            carry_ref[...] = lab0[:1].astype(jnp.int32)
+
+        pl.when(act)(_run)
 
 
 def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
@@ -1110,8 +1187,7 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
         return new, next_active(new, still), it + 1
 
     if sweep and n_strips > 1:
-        # SEQUENTIAL down then up sweep (lax.scan over strips, the
-        # converged boundary row as carry): strip i consumes strip i-1's
+        # SEQUENTIAL down then up sweep: strip i consumes strip i-1's
         # UPDATED labels within ONE pass, so information crosses the
         # whole image in two sweeps instead of one strip boundary per
         # halo-exchange pass. Round-5 convergence profiling showed the
@@ -1121,88 +1197,46 @@ def _ccmin_run(fg: jnp.ndarray, lab: jnp.ndarray, w_orig: int,
         # fixed point under ANY schedule; the gated loop below then
         # starts from the sweep-derived activity (usually all-inactive)
         # instead of all-active, so a converged sweep pays ZERO extra
-        # kernel passes.
-        call1 = pl.pallas_call(
-            functools.partial(_cc_strip_kernel, n_inner, connectivity,
-                              cache_masks),
-            out_shape=(jax.ShapeDtypeStruct((bh, wp), ldt),
-                       jax.ShapeDtypeStruct((1, 1), jnp.int32)),
-            grid=(1,),
-            in_specs=[
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bh, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((bh, wp), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ),
-            interpret=interpret,
-        )
-        one = jnp.ones((1, 1), jnp.int32)
-        big32 = jnp.iinfo(jnp.int32).max
-        big_row = jnp.full((1, wp), big32, jnp.int32)
-        fg3 = fg_u8.reshape(n_strips, bh, wp)
+        # kernel passes. Each sweep is ONE pallas_call — TPU grid steps
+        # execute in order on the core, so the boundary row rides a
+        # (1, WP) VMEM scratch between strips. (Measured perf-neutral
+        # vs the earlier lax.scan-of-single-strip-calls form on the
+        # 24-mask stack — per-strip cost is the inner scan rounds, not
+        # dispatch — but the HLO is 2 calls instead of 2 x n_strips,
+        # and compile/launch cost scales with that.)
+        def sweep_call(down: bool):
+            if down:
+                idx = lambda i: (i, 0)
+            else:
+                idx = lambda i: (n_strips - 1 - i, 0)
+            return pl.pallas_call(
+                functools.partial(_cc_sweep_kernel, n_inner, connectivity,
+                                  cache_masks, n_strips, down),
+                out_shape=(jax.ShapeDtypeStruct((hp, wp), ldt),
+                           jax.ShapeDtypeStruct((n_strips, 1), jnp.int32)),
+                grid=(n_strips,),
+                in_specs=[
+                    pl.BlockSpec((n_strips, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),   # prev chg
+                    pl.BlockSpec((bh, wp), idx,
+                                 memory_space=pltpu.VMEM),   # fg
+                    pl.BlockSpec((bh, wp), idx,
+                                 memory_space=pltpu.VMEM),   # labels
+                ],
+                out_specs=(
+                    pl.BlockSpec((bh, wp), idx,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_strips, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ),
+                scratch_shapes=[pltpu.VMEM((1, wp), jnp.int32)],
+                interpret=interpret,
+            )
 
-        def _carry_cand(carry):
-            # same diagonal-inclusive candidate the kernel injects
-            if connectivity == 8:
-                sr = jnp.concatenate([jnp.full((1, 1), big32, jnp.int32),
-                                      carry[:, :-1]], axis=1)
-                sl = jnp.concatenate([carry[:, 1:],
-                                      jnp.full((1, 1), big32, jnp.int32)],
-                                     axis=1)
-                return jnp.minimum(carry, jnp.minimum(sr, sl))
-            return carry
-
-        def _sweep(lab_in, down: bool, prev_chg=None):
-            def sbody(carry, xs):
-                fg_s, lab_s, pchg = xs
-                top = carry if down else big_row
-                bot = big_row if down else carry
-                if prev_chg is not None:
-                    # run iff the carried boundary improves this strip's
-                    # adjacent row (a locally-converged strip with no
-                    # boundary improvement is an exact no-op) OR the
-                    # previous sweep left it at its inner-round bound
-                    # still changing (pchg — without it a non-converged
-                    # strip would be skipped and the fixed point missed)
-                    edge_row = (lab_s[:1] if down else lab_s[-1:]
-                                ).astype(jnp.int32)
-                    act = (jnp.any((edge_row != big32)
-                                   & (_carry_cand(carry) < edge_row))
-                           | (pchg != 0)).astype(jnp.int32)[None, None]
-                else:
-                    act = one
-                new, chg = call1(act, top, bot, fg_s, lab_s)
-                # a skipped strip keeps its previous still-changing flag
-                # (the kernel writes 0 for skips, but pchg came from a
-                # sweep that DID run it past the bound)
-                chg_out = jnp.maximum(chg[0, 0],
-                                      pchg * (1 - act[0, 0]))
-                edge = (new[-1:] if down else new[:1]).astype(jnp.int32)
-                return edge, (new, chg_out)
-
-            pc = (jnp.zeros((n_strips,), jnp.int32) if prev_chg is None
-                  else prev_chg)
-            _, (labs, chgs) = jax.lax.scan(
-                sbody, big_row,
-                (fg3, lab_in.reshape(n_strips, bh, wp), pc),
-                reverse=not down)
-            return labs.reshape(hp, wp), chgs
-
-        lab, chgs_d = _sweep(lab, True)
-        lab, chgs = _sweep(lab, False, prev_chg=chgs_d)
-        act0 = next_active(lab, chgs[:, None])
+        zeros = jnp.zeros((n_strips, 1), jnp.int32)
+        lab, chgs_d = sweep_call(True)(zeros, fg_u8, lab)
+        lab, chgs = sweep_call(False)(chgs_d, fg_u8, lab)
+        act0 = next_active(lab, chgs)
     else:
         act0 = jnp.ones((n_strips,), jnp.int32)        # all active first
 
