@@ -1405,14 +1405,20 @@ _HIST_LO = 128  # low-level bins == one lane tile
 def _hist_dense_kernel(n_chunks: int, bins_hi: int, ids_ref, counts_ref):
     dt = jnp.bfloat16
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (bins_hi, 1), 0)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, _HIST_LO), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (_HIST_LO, 1), 0)
 
     def body(j, acc):
         row = ids_ref[0, pl.ds(j, 1), :]                    # (1, K)
+        # BOTH one-hots lane-major (pixels on lanes) and the dot in
+        # A @ B^T form (contract lanes vs lanes): the earlier (K, 128)
+        # lo one-hot needed a (1, K) -> (K, 1) row relayout per chunk
+        # that cost ~3x the whole matmul — 4.75 -> 1.77 ms/batch on the
+        # 24-mask rule stack at the 16k tier, bit-identical (round 5,
+        # benchmarks/minarea_exp.py E2)
         oh_hi = (iota_hi == (row >> 7)).astype(dt)          # (bins_hi, K)
-        oh_lo = ((row.reshape(-1, 1) & 127) == iota_lo).astype(dt)
+        oh_lo_t = (iota_lo == (row & 127)).astype(dt)       # (128, K)
         return acc + jax.lax.dot_general(
-            oh_hi, oh_lo, (((1,), (0,)), ((), ())),
+            oh_hi, oh_lo_t, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     acc = jnp.zeros((bins_hi, _HIST_LO), jnp.float32)
